@@ -1,0 +1,113 @@
+"""F6 end-to-end crawl parity: Spark pipeline vs pure-python oracle.
+
+Asserts, for a fixed seed list + politeness budget over the deterministic
+synthetic docs:
+- exact scheduled order per iteration (priority DESC, url_hash ASC);
+- identical final URL-seen set;
+- resume-from-checkpoint reproduces the uninterrupted run exactly.
+"""
+
+import pytest
+
+from url_pattern_algorithm_spark.kernel.crawl_oracle import run_oracle_crawl
+from url_pattern_algorithm_spark.plans.crawl import run_crawl
+from url_pattern_algorithm_spark.sources.catalog import Catalog
+from url_pattern_algorithm_spark.sources.synthetic import (
+    docs_df,
+    robots_df,
+    robots_rules,
+    seeds_df,
+)
+
+N_DOCS = 400
+N_HOSTS = 6
+ITERS = 3
+
+
+@pytest.fixture(scope="module")
+def crawl_run(spark, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    docs = docs_df(spark, N_DOCS, N_HOSTS, partitions=4)
+    seeds = seeds_df(spark, N_HOSTS)
+    robots = robots_df(spark, N_HOSTS)
+    counts = run_crawl(
+        spark, docs, seeds, robots, ckpt, N_DOCS, iterations=ITERS
+    )
+    seeds_local = [(r["url"], r["priority"]) for r in seeds.collect()]
+    oracle = run_oracle_crawl(seeds_local, robots_rules(N_HOSTS), N_DOCS,
+                              N_HOSTS, ITERS)
+    return spark, ckpt, counts, oracle, docs, seeds, robots
+
+
+def _spark_scheduled(spark, ckpt, it):
+    cat = Catalog(spark, ckpt)
+    rows = (
+        cat.read(f"scheduled_{it}")
+        .orderBy("host", "sched_rank")
+        .select("url", "url_canon", "url_hash", "host", "sched_rank")
+        .collect()
+    )
+    return [(r["url"], r["url_canon"], r["url_hash"], r["host"], r["sched_rank"])
+            for r in rows]
+
+
+def test_scheduled_order_matches_oracle(crawl_run):
+    spark, ckpt, counts, oracle, *_ = crawl_run
+    for it in range(1, ITERS + 1):
+        got = _spark_scheduled(spark, ckpt, it)
+        want = [(r[0], r[1], r[2], r[3], r[6]) for r in oracle.scheduled[it]]
+        assert got == want, f"iteration {it} mismatch"
+        assert counts[it] == len(want)
+        assert counts[it] > 0
+
+
+def test_seen_set_matches_oracle(crawl_run):
+    spark, ckpt, _, oracle, *_ = crawl_run
+    cat = Catalog(spark, ckpt)
+    got = {
+        (r["url_hash"], r["first_iter"])
+        for r in cat.read(f"seen_{ITERS}").select("url_hash", "first_iter").collect()
+    }
+    want = set(oracle.seen.items())
+    assert got == want
+
+
+def test_resume_from_checkpoint(crawl_run, tmp_path):
+    spark, ckpt, counts, oracle, docs, seeds, robots = crawl_run
+    # resume from snapshot 2 and re-run iteration 3; scheduled_3 must be
+    # byte-identical to the uninterrupted run
+    before = _spark_scheduled(spark, ckpt, ITERS)
+    counts2 = run_crawl(
+        spark, docs, seeds, robots, ckpt, N_DOCS,
+        iterations=ITERS, resume_from=ITERS - 1, run_id="resumed",
+    )
+    after = _spark_scheduled(spark, ckpt, ITERS)
+    assert after == before
+    assert counts2[ITERS] == counts[ITERS]
+
+
+def test_bloom_off_equivalence(crawl_run, tmp_path):
+    # the Bloom prefilter is an optimization: disabling it must not change
+    # any scheduled batch
+    spark, ckpt, _, oracle, docs, seeds, robots = crawl_run
+    ckpt2 = str(tmp_path / "nobloom")
+    run_crawl(spark, docs, seeds, robots, ckpt2, N_DOCS,
+              iterations=ITERS, use_bloom=False)
+    for it in range(1, ITERS + 1):
+        assert _spark_scheduled(spark, ckpt2, it) == _spark_scheduled(
+            spark, ckpt, it
+        )
+
+
+def test_lineage_metrics(crawl_run):
+    spark, ckpt, counts, *_ = crawl_run
+    cat = Catalog(spark, ckpt)
+    m = {
+        (r["table"], r["iteration"]): r["rows"]
+        for r in cat.read("_metrics").filter("run_id = 'run1'").collect()
+    }
+    for it in range(1, ITERS + 1):
+        assert m[(f"scheduled_{it}", it)] == counts[it]
+    # per-partition lineage columns present on checkpoints
+    cols = set(cat.read("scheduled_1").columns)
+    assert {"run_id", "iteration", "partition_id"} <= cols

@@ -1,0 +1,198 @@
+"""Frontier core: seen-filter, Bloom prefilter, robots, politeness, priority.
+
+These are the north_rule's native additions (no reference analogue except the
+salting pattern, PredictFssJob.java:155-185). Every operator is a DataFrame
+transform — no driver-side loops, no collect of frontier-scale data:
+
+- seen filter     = ``left_anti`` join on the 64-bit canonical hash, with an
+  optional partitioned-Bloom prefilter that routes the (at steady state,
+  dominant) definitely-unseen candidates around the shuffle;
+- robots filter   = broadcast join of per-host disallow prefixes;
+- politeness      = token-bucket state table joined on host; budget caps the
+  per-host top-k;
+- priority queue  = salted two-phase window top-k: phase 1 ranks inside
+  (host, salt) partitions so a hot host spreads over `salts` shuffle
+  partitions, phase 2 ranks the <= salts x budget survivors exactly.
+  Ordering: priority DESC, url_hash ASC — the deterministic total order that
+  replaces the reference's HashMap nondeterminism (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# partitioned Bloom seen-prefilter
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS_PER_KEY = 10  # ~1% fp at k=7
+BLOOM_HASHES = 7
+
+
+def build_bloom(seen: DataFrame, n_buckets: int = 64,
+                bits_per_key: int = BLOOM_BITS_PER_KEY) -> DataFrame:
+    """Build per-bucket Bloom bitmaps over ``seen.url_hash``.
+
+    bucket = url_hash & (n_buckets-1). Each bucket's bitmap is built inside
+    one ``applyInPandas`` task from that bucket's hashes only — nothing is
+    collected on the driver, and bitmap size scales with the bucket's key
+    count, so at 10^10 keys each of e.g. 4096 buckets holds ~2.4M keys -> 3MB
+    bitmaps (fits an executor easily). Returns (bucket, m_bits, bitmap).
+    """
+
+    def make(pdf: pd.DataFrame) -> pd.DataFrame:
+        hashes = pdf["url_hash"].to_numpy(dtype=np.int64).astype(np.uint64)
+        n = max(len(hashes), 1)
+        m = 1 << int(np.ceil(np.log2(max(n * bits_per_key, 64))))
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        h1 = hashes
+        h2 = (hashes >> np.uint64(17)) | (hashes << np.uint64(47))
+        for k in range(BLOOM_HASHES):
+            idx = (h1 + np.uint64(k) * h2) % np.uint64(m)
+            np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                             (1 << (idx & np.uint64(7))).astype(np.uint8))
+        return pd.DataFrame(
+            {"bucket": [int(pdf["bucket"].iloc[0])], "m_bits": [int(m)],
+             "bitmap": [bits.tobytes()]}
+        )
+
+    seen_b = seen.withColumn(
+        "bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int")
+    )
+    return seen_b.groupBy("bucket").applyInPandas(
+        make, "bucket int, m_bits long, bitmap binary"
+    )
+
+
+def bloom_maybe_seen(candidates: DataFrame, blooms: DataFrame,
+                     n_buckets: int = 64) -> DataFrame:
+    """Tag candidates with ``maybe_seen``: False -> definitely unseen (skip
+    the anti-join shuffle), True -> needs the exact check. The tiny blooms
+    table broadcast-joins on bucket; membership tests run vectorized in one
+    Arrow batch."""
+
+    def test(pdf_iter):
+        for pdf in pdf_iter:
+            out = np.zeros(len(pdf), dtype=bool)
+            has = pdf["bitmap"].notna().to_numpy()
+            if has.any():
+                hashes = pdf["url_hash"].to_numpy(dtype=np.int64).astype(np.uint64)
+                for (m, bmp), idxs in _group_by_bitmap(pdf, has):
+                    bits = np.frombuffer(bmp, dtype=np.uint8)
+                    h1 = hashes[idxs]
+                    h2 = (h1 >> np.uint64(17)) | (h1 << np.uint64(47))
+                    hit = np.ones(len(idxs), dtype=bool)
+                    for k in range(BLOOM_HASHES):
+                        pos = (h1 + np.uint64(k) * h2) % np.uint64(m)
+                        hit &= (
+                            bits[(pos >> np.uint64(3)).astype(np.int64)]
+                            >> (pos & np.uint64(7)).astype(np.uint8)
+                        ) & 1 == 1
+                    out[idxs] = hit
+            yield pdf.drop(columns=["m_bits", "bitmap"]).assign(maybe_seen=out)
+
+    def _group_by_bitmap(pdf, has):
+        groups = {}
+        mb = pdf["m_bits"].to_numpy()
+        bm = pdf["bitmap"].to_numpy()
+        for i in np.nonzero(has)[0]:
+            key = (int(mb[i]), bytes(bm[i]))
+            groups.setdefault(key, []).append(i)
+        return [(k, np.array(v)) for k, v in groups.items()]
+
+    tagged = candidates.withColumn(
+        "bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int")
+    ).join(F.broadcast(blooms), "bucket", "left")
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in tagged.schema.fields
+        if f.name not in ("m_bits", "bitmap")
+    ) + ", maybe_seen boolean"
+    return tagged.mapInPandas(test, schema).drop("bucket")
+
+
+def seen_filter(candidates: DataFrame, seen: DataFrame | None,
+                blooms: DataFrame | None = None) -> DataFrame:
+    """Candidates not in the seen set (URL-seen anti-join, SURVEY.md §2.3).
+
+    With a Bloom prefilter: definitely-unseen rows bypass the anti-join
+    entirely; only 'maybe seen' rows shuffle against the seen table. Without:
+    a plain ``left_anti`` on url_hash (AQE handles skew/coalesce).
+    """
+    if seen is None:
+        return candidates
+    if blooms is not None:
+        tagged = bloom_maybe_seen(candidates, blooms)
+        sure_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+        checked = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
+        return sure_new.unionByName(checked)
+    return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# robots + politeness + priority
+# ---------------------------------------------------------------------------
+
+
+def robots_filter(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """Drop candidates whose canonical path starts with a disallowed prefix.
+
+    Robots rule sets are per-host and tiny -> broadcast join (the reference's
+    side-input pattern, PatternJob.java:200-239). Uses url (raw) path.
+    """
+    disallow = robots.filter(~F.col("allow")).select(
+        F.col("host").alias("r_host"), F.col("prefix")
+    )
+    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    joined = candidates.join(
+        F.broadcast(disallow),
+        (F.col("host") == F.col("r_host"))
+        & path.startswith(F.col("prefix")),
+        "left",
+    )
+    return joined.filter(F.col("r_host").isNull()).drop("r_host", "prefix")
+
+
+def schedule_top_k(frontier: DataFrame, budget_col, salts: int = 16) -> DataFrame:
+    """Salted two-phase per-host priority top-k (north_rule priority queue).
+
+    ``budget_col`` is a per-row integer column (already joined from the
+    politeness state) giving that host's budget this iteration. Phase 1
+    ranks within (host, salt) and keeps rank <= budget — a hot host's rows
+    spread over `salts` partitions and at most salts x budget survive. Phase
+    2 ranks the survivors exactly within host. Deterministic order:
+    priority DESC, url_hash ASC.
+    """
+    order = [F.col("priority").desc(), F.col("url_hash").asc()]
+    salted = frontier.withColumn(
+        "salt", F.pmod(F.col("url_hash"), F.lit(salts)).cast("int")
+    )
+    w1 = Window.partitionBy("host", "salt").orderBy(*order)
+    phase1 = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= budget_col)
+        .drop("rn1", "salt")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        phase1.withColumn("sched_rank", F.row_number().over(w2))
+        .filter(F.col("sched_rank") <= budget_col)
+    )
+
+
+def politeness_budgets(host_state: DataFrame, refill: float = 1.0,
+                       cap: float = 8.0) -> DataFrame:
+    """Advance the per-host token bucket one iteration (F2 host_state):
+    tokens' = min(cap, tokens + refill x crawl_delay_factor); budget =
+    floor(tokens'). Returns (host, tokens_avail, budget)."""
+    t = F.least(F.lit(cap), F.col("tokens") + F.lit(refill) / F.col("crawl_delay"))
+    return host_state.select(
+        "host",
+        t.alias("tokens_avail"),
+        F.floor(t).cast("int").alias("budget"),
+    )
