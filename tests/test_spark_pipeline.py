@@ -1,0 +1,208 @@
+"""Spark integration tests: the distributed pattern-tree / classify / rewrite
+pipelines must agree with the (golden-tested) pure kernel per host."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from url_pattern_algorithm_spark.functions.udfs import with_url_columns
+from url_pattern_algorithm_spark.kernel.rules import Cluster
+from url_pattern_algorithm_spark.kernel.tree import (
+    TreeBuilder,
+    Url,
+    leaf_alternation,
+)
+from url_pattern_algorithm_spark.operators.classify import (
+    classify_regex,
+    classify_structural,
+    support_ratio,
+)
+from url_pattern_algorithm_spark.operators.pattern_tree import (
+    build_membership,
+    build_trees,
+    leaf_alternations,
+    match_rate,
+)
+from url_pattern_algorithm_spark.operators.rewrite import (
+    apply_rules,
+    compression_metric,
+    learn_rules,
+)
+from url_pattern_algorithm_spark.operators.sampling import (
+    cap_per_host,
+    gate_min_host_size,
+    train_test_split,
+)
+
+CATS = ["news", "sport", "tech"]
+
+
+def fixture_urls():
+    urls = []
+    for h, host in enumerate(["a.example.com", "b.example.com"]):
+        for c in CATS:
+            for i in range(40 + 10 * h):
+                urls.append((host, f"http://{host}/cat/{c}/{i}"))
+        for i in range(35):
+            urls.append((host, f"http://{host}/list/page{i}.html"))
+    return urls
+
+
+@pytest.fixture(scope="module")
+def urls_df(spark):
+    return spark.createDataFrame(fixture_urls(), "host string, url string")
+
+
+def kernel_tree(host):
+    rows = [u for h, u in fixture_urls() if h == host]
+    # drop_duplicates order parity with the Spark path
+    seen, uniq = set(), []
+    for u in rows:
+        if u not in seen:
+            seen.add(u)
+            uniq.append(u)
+    b = TreeBuilder()
+    b.build([Url.parse(u) for u in uniq])
+    return b
+
+
+def test_build_trees_matches_kernel(spark, urls_df):
+    nodes = build_trees(urls_df).orderBy("host", "node_id").collect()
+    for host in ("a.example.com", "b.example.com"):
+        got = [
+            (r["node_id"], r["parent_id"], r["pattern"], r["url_count"],
+             r["is_leaf"])
+            for r in nodes
+            if r["host"] == host
+        ]
+        b = kernel_tree(host)
+        want = [
+            (n.id, n.parent.id if n.parent else None, n.pattern_str,
+             len(n.urls), n.is_leaf)
+            for n in b.nodes
+        ]
+        assert got == want
+
+
+def test_leaf_alternations_match_kernel(spark, urls_df):
+    nodes = build_trees(urls_df)
+    alts = {r["host"]: r["patterns"] for r in leaf_alternations(nodes).collect()}
+    for host in alts:
+        assert alts[host] == leaf_alternation(kernel_tree(host).root)
+
+
+def test_match_rate_high(spark, urls_df):
+    nodes = build_trees(urls_df)
+    alts = leaf_alternations(nodes)
+    canon = with_url_columns(urls_df)
+    rates = {r["host"]: r["match_rate"] for r in match_rate(canon, alts).collect()}
+    assert set(rates) == {"a.example.com", "b.example.com"}
+    # /cat/... urls match; /list/pageN.html urls do NOT: the full tokenizer
+    # splits '.html' into a '/html'-rendered key but the canonical (light)
+    # form keeps 'pageN.html' whole — a faithful reference quirk
+    # (ProcessedUrl.java:100 vs ProcessedUrl1.java:83; SURVEY.md §2.6)
+    assert rates["a.example.com"] == pytest.approx(120 / 155)
+    assert rates["b.example.com"] == pytest.approx(150 / 185)
+
+
+def test_classifiers(spark):
+    # host whose leaves carry '*'-valued keys so the structural match
+    # (raw-literal compare, TreeNode.java:562-596) can succeed: uneven cat
+    # counts -> salient word children; trailing word+digit tokens stay '*'
+    words = ["alpha", "bravo", "gamma", "delta", "epsil", "zeta", "eta", "theta"]
+    rows = []
+    for c, n in (("news", 60), ("sport", 50), ("tech", 40)):
+        for i in range(n):
+            rows.append(
+                ("c.example.com", f"http://c.example.com/cat/{c}/{words[i % 8]}{i}")
+            )
+    urls_c = spark.createDataFrame(rows, "host string, url string")
+    nodes = build_trees(urls_c)
+    pages = spark.createDataFrame(
+        [
+            ("c.example.com", "http://c.example.com/cat/news/other99"),
+            ("c.example.com", "http://c.example.com/totally/else?x=1&y=2&z=3"),
+            ("zz.example.com", "http://zz.example.com/cat/news/alpha7"),
+        ],
+        "host string, url string",
+    )
+    got = {
+        r["url"]: r["page_type"]
+        for r in classify_structural(spark, pages, nodes).collect()
+    }
+    assert got["http://c.example.com/cat/news/other99"] == "THEME_PAGE"
+    assert got["http://c.example.com/totally/else?x=1&y=2&z=3"] == "OTHER_PAGE"
+    assert got["http://zz.example.com/cat/news/alpha7"] == "OTHER_PAGE"  # no tree
+    # regex variant agrees
+    got2 = {
+        r["url"]: r["page_type"]
+        for r in classify_regex(
+            with_url_columns(pages), leaf_alternations(nodes)
+        ).collect()
+    }
+    assert got2["http://c.example.com/cat/news/other99"] == "THEME_PAGE"
+    assert got2["http://zz.example.com/cat/news/alpha7"] == "OTHER_PAGE"
+
+
+def test_membership_and_support(spark, urls_df):
+    nodes = build_trees(urls_df)
+    membership = build_membership(urls_df)
+    # every URL belongs to its host's root node (node_id 0)
+    n_urls = urls_df.distinct().count()
+    roots = membership.filter("node_id = 0").count()
+    assert roots == n_urls
+    sup = support_ratio(membership, nodes)
+    # support in (0, 1]
+    row = sup.agg(F.min("support"), F.max("support")).collect()[0]
+    assert 0.0 < row[0] <= row[1] <= 1.0
+
+
+def test_rewrite_pipeline(spark):
+    # F5 fixture distributed over two hosts
+    rows = []
+    for host in ("h7.example.com", "h8.example.com"):
+        for i in range(100):
+            rows.append((host, 0, f"http://{host}/cat/{i}/view"))
+        for i in range(120):
+            rows.append((host, 0, f"http://{host}/view?c={i}"))
+    clusters = spark.createDataFrame(rows, "host string, cluster_id int, url string")
+    rules = learn_rules(clusters)
+    assert rules.count() > 0
+    urls = clusters.select("host", "url").distinct()
+    rewritten = apply_rules(spark, urls, rules)
+    comp = {
+        r["host"]: r["compression_ratio"]
+        for r in compression_metric(rewritten).collect()
+    }
+    for host, ratio in comp.items():
+        assert ratio < 1.0, host
+    # the intended replace-op rule (query form -> path form) is learned; at
+    # apply time first-match order may route through a broader rule first
+    # (the reference's HashMap-order first-match, CalculateUtil.java:665-679,
+    # made deterministic here), so assert the rule exists and produces the
+    # path form when applied directly
+    from url_pattern_algorithm_spark.kernel.rules import apply_rule
+    from url_pattern_algorithm_spark.kernel.tokenize import tokenize_full
+
+    rule_list = [r["rule"] for r in rules.filter("host = 'h7.example.com'").collect()]
+    replace_rules = [r for r in rule_list if r.startswith("path2:c/")]
+    assert replace_rules
+    got = apply_rule(
+        replace_rules[0], tokenize_full("http://h7.example.com/view?c=42")
+    )
+    assert got == "http://h7.example.com/cat/42/view"
+    # apply_rules is deterministic: rerun gives identical output
+    again = apply_rules(spark, urls, rules)
+    assert rewritten.orderBy("url").collect() == again.orderBy("url").collect()
+
+
+def test_sampling_ops(spark, urls_df):
+    capped1 = sorted(r["url"] for r in cap_per_host(urls_df, cap=50).collect())
+    capped2 = sorted(r["url"] for r in cap_per_host(urls_df, cap=50).collect())
+    assert capped1 == capped2  # deterministic, no rand()
+    assert 0 < len(capped1) < urls_df.count()
+    gated = gate_min_host_size(urls_df, 10**9)
+    assert gated.count() == 0
+    split = train_test_split(urls_df)
+    frac = split.agg(F.avg(F.col("is_train").cast("double"))).collect()[0][0]
+    assert 0.70 < frac < 0.80

@@ -421,12 +421,15 @@ def structural_match(pattern_str: str, pairs: Pairs, star: str = "*") -> bool:
 
 def flatten_nodes(builder: TreeBuilder) -> list[dict]:
     """Flatten a built tree into relational rows for the nodes table."""
+    depth: dict[int, int] = {}
     rows = []
     for n in builder.nodes:
+        depth[n.id] = 0 if n.parent is None else depth[n.parent.id] + 1
         rows.append(
             {
                 "node_id": n.id,
                 "parent_id": n.parent.id if n.parent is not None else None,
+                "depth": depth[n.id],
                 "partition_key": n.parent.partition_key if n.parent else None,
                 "partition_value": n.partition_key_value,
                 "pattern": n.pattern_str,

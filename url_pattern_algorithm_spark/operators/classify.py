@@ -1,0 +1,96 @@
+"""URL-shape page classification (EP3 parity, SURVEY.md §2.7).
+
+Two classifiers:
+- structural: a page is THEME_PAGE iff any leaf pattern of its host's tree
+  structurally matches its URL (ThemePageUrlPatternJob.java:275-294) —
+  broadcast the per-host leaf patterns into a pandas UDF;
+- regex: match the canonical URL against the host's leaf alternation
+  (TreeNode.java:547-560) — pure ``regexp_like``, stays in codegen;
+- support-ratio variant (ContentPageAnalyzer.java:25-58): support = sum of
+  matched-leaf sizes / sum of leaf sizes >= min_support — relational join.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from url_pattern_algorithm_spark.kernel.tokenize import tokenize_full
+from url_pattern_algorithm_spark.kernel.tree import structural_match
+
+
+def classify_structural(
+    spark: SparkSession, pages: DataFrame, nodes: DataFrame,
+    out_col: str = "page_type",
+) -> DataFrame:
+    """pages(host, url, ...) + nodes -> + page_type column.
+
+    The per-host leaf patternStr lists are a small dimension: collected once,
+    broadcast into the UDF closure (the reference's setup()-side-input
+    pattern, GarbagePageUrlPatternJob.java:216-253). Pattern-tree tables are
+    bounded by hosts x leaves, not by corpus size — safe to broadcast.
+    """
+    leaf_rows = (
+        nodes.filter("is_leaf").select("host", "pattern").collect()
+    )
+    by_host: dict[str, list[str]] = {}
+    for r in leaf_rows:
+        by_host.setdefault(r["host"], []).append(r["pattern"])
+    bc = spark.sparkContext.broadcast(by_host)
+
+    @pandas_udf("string")
+    def classify(hosts: pd.Series, urls: pd.Series) -> pd.Series:
+        patterns = bc.value
+
+        def one(host, url):
+            pats = patterns.get(host)
+            if not pats:
+                return "OTHER_PAGE"
+            pairs = tokenize_full(url)
+            if pairs is None:
+                return "OTHER_PAGE"
+            for p in pats:
+                if structural_match(p, pairs, star="*"):
+                    return "THEME_PAGE"
+            return "OTHER_PAGE"
+
+        return pd.Series([one(h, u) for h, u in zip(hosts, urls)])
+
+    return pages.withColumn(out_col, classify(F.col("host"), F.col("url")))
+
+
+def classify_regex(pages_with_canon: DataFrame, alternations: DataFrame,
+                   out_col: str = "page_type") -> DataFrame:
+    """Canonical-regex classification: broadcast-join the per-host
+    alternation and regexp_like in codegen (no Python)."""
+    j = pages_with_canon.join(F.broadcast(alternations), "host", "left")
+    return j.withColumn(
+        out_col,
+        F.when(
+            F.col("patterns").isNotNull()
+            & F.regexp_like(F.col("url_canon"), F.col("patterns")),
+            F.lit("THEME_PAGE"),
+        ).otherwise(F.lit("OTHER_PAGE")),
+    ).drop("patterns", "n_leaves")
+
+
+def support_ratio(membership: DataFrame, nodes: DataFrame,
+                  min_support: float = 0.5) -> DataFrame:
+    """ContentPageAnalyzer.java:25-58: per URL, (sum of sizes of matched
+    leaves) / (sum of all leaf sizes for the host) >= min_support.
+    Matched leaves come from the membership table (equi-join, no scan)."""
+    leaves = nodes.filter("is_leaf").select(
+        "host", "node_id", F.col("url_count").alias("leaf_size")
+    )
+    totals = leaves.groupBy("host").agg(F.sum("leaf_size").alias("total"))
+    matched = membership.join(leaves, ["host", "node_id"])
+    per_url = matched.groupBy("host", "url").agg(
+        F.sum("leaf_size").alias("matched_size")
+    )
+    return (
+        per_url.join(F.broadcast(totals), "host")
+        .withColumn("support", F.col("matched_size") / F.col("total"))
+        .withColumn("is_theme", F.col("support") >= min_support)
+    )

