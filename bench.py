@@ -1,0 +1,134 @@
+"""Benchmark harness: headline queries + a frontier crawl iteration loop.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+The headline metric is frontier URLs scheduled per second over the full
+normalize -> seen-filter -> politeness -> priority -> checkpoint pipeline
+(BASELINE.json target). Set ``SPARK_GRAFT_SCALING=1`` to also run the
+two-parallelism scaling probe (local[8] vs local[32]) and report efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline per-query benches (subset of the registry: the heavy hitters that
+# exercise the UDF boundary, shuffles, windows and applyInPandas)
+BENCH_QUERIES = [
+    "url_normalize",
+    "frontier_schedule",
+    "url_seen_antijoin",
+    "kv_entropy",
+    "pattern_tree_nodes",
+    "rewrite_compression",
+    "dedup_exact",
+    "doc_quality",
+]
+
+
+def _spark(master: str):
+    from url_pattern_algorithm_spark.session import get_spark
+
+    s = get_spark(
+        "bench", master=master,
+        shuffle_partitions=max(int(master.split("[")[1].rstrip("]")), 8)
+        if "[" in master and master.split("[")[1].rstrip("]").isdigit()
+        else 32,
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from url_pattern_algorithm_spark.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n = QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        assert n >= 0
+    return timings
+
+
+def run_crawl_bench(spark, sf_dir: str, iterations: int = 3):
+    """The headline: synthetic interleaved-docs crawl, URLs scheduled/sec."""
+    from url_pattern_algorithm_spark.plans.crawl import run_crawl
+    from url_pattern_algorithm_spark.sources.synthetic import (
+        docs_df,
+        robots_df,
+        seeds_df,
+    )
+
+    n_docs, n_hosts = 20000, 32
+    docs = docs_df(spark, n_docs, n_hosts).persist()
+    docs.count()
+    seeds = seeds_df(spark, n_hosts)
+    robots = robots_df(spark, n_hosts)
+    root = tempfile.mkdtemp(prefix="bench_crawl_")
+    t0 = time.time()
+    counts = run_crawl(
+        spark, docs, seeds, robots, root, n_docs=n_docs,
+        iterations=iterations, run_id="bench",
+    )
+    dt = time.time() - t0
+    docs.unpersist()
+    shutil.rmtree(root, ignore_errors=True)
+    scheduled = sum(counts.values())
+    return scheduled, dt
+
+
+def bench_once(master: str, sf_dir: str):
+    spark = _spark(master)
+    try:
+        scheduled, crawl_s = run_crawl_bench(spark, sf_dir)
+        qt = run_queries(spark, sf_dir)
+        return {
+            "scheduled": scheduled,
+            "crawl_sec": round(crawl_s, 3),
+            "urls_per_sec": round(scheduled / crawl_s, 1),
+            "queries": qt,
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    res = bench_once(f"local[{CPUS}]", SF_DIR)
+    out = {
+        "metric": "frontier URLs scheduled/sec (crawl loop) + headline query secs",
+        "value": round(res["crawl_sec"] + sum(res["queries"].values()), 3),
+        "unit": "sec",
+        "queries": dict(
+            res["queries"],
+            crawl_loop=res["crawl_sec"],
+        ),
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "urls_per_sec": res["urls_per_sec"],
+        "scheduled_urls": res["scheduled"],
+        "cpus": CPUS,
+    }
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        lo = bench_once("local[8]", SF_DIR)
+        out["scaling"] = {
+            "local8_urls_per_sec": lo["urls_per_sec"],
+            "local32_urls_per_sec": res["urls_per_sec"],
+            "efficiency": round(res["urls_per_sec"] / lo["urls_per_sec"] / 4.0, 3),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,7 @@ def cap_per_host(
     cap: int = DEFAULT_CAP,
     custom_caps: dict[str, int] | None = None,
     seed: int = 42,
+    keep_hash=None,
 ) -> DataFrame:
     """Thin each host to <= ~cap URLs, keeping each row with p = cap/count.
 
@@ -42,6 +43,10 @@ def cap_per_host(
     GarbagePageUrlPatternJob.java:261-266). The keep-decision hashes the URL
     (never rand()) so reruns and the oracle agree. Counts broadcast-join back
     (small dimension) — no second shuffle of the fact side.
+
+    ``keep_hash`` overrides the keep-decision hash column (must be uniform in
+    [0, 1e6)); default is the fast built-in xxhash64. The oracle queries pass
+    an md5-derived column DuckDB can reproduce.
     """
     counts = host_counts(urls)
     if custom_caps:
@@ -51,11 +56,11 @@ def cap_per_host(
         cap_col = F.coalesce(mapping[F.col("host")], F.lit(cap))
     else:
         cap_col = F.lit(cap)
+    if keep_hash is None:
+        keep_hash = F.pmod(F.xxhash64(F.col("url"), F.lit(seed)), F.lit(_PRECISION))
     joined = urls.join(F.broadcast(counts), "host")
     p = F.least(F.lit(1.0), cap_col / F.col("host_count"))
-    keep = F.pmod(F.xxhash64(F.col("url"), F.lit(seed)), F.lit(_PRECISION)) < (
-        p * _PRECISION
-    )
+    keep = keep_hash < (p * _PRECISION)
     return joined.filter(keep).drop("host_count")
 
 
@@ -65,12 +70,16 @@ def gate_min_host_size(urls: DataFrame, min_size: int) -> DataFrame:
     return urls.join(F.broadcast(counts.select("host")), "host", "left_semi")
 
 
-def train_test_split(urls: DataFrame, train_frac: float = 0.75) -> DataFrame:
+def train_test_split(urls: DataFrame, train_frac: float = 0.75,
+                     order_col=None) -> DataFrame:
     """Ordered 75/25 split per host (GarbagePageUrlPatternJob.java:296-304):
     first ceil(0.75n) rows are train. The reference's 'order' is reducer
     arrival order (nondeterministic); we define it as (url_hash ASC) — the
-    documented deterministic replacement. Adds is_train boolean."""
-    w = Window.partitionBy("host").orderBy(F.xxhash64("url").asc())
+    documented deterministic replacement (override with ``order_col``).
+    Adds is_train boolean."""
+    if order_col is None:
+        order_col = F.xxhash64("url").asc()
+    w = Window.partitionBy("host").orderBy(order_col)
     wc = Window.partitionBy("host")
     return urls.withColumn("_rn", F.row_number().over(w)).withColumn(
         "is_train",
