@@ -63,25 +63,44 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
-def run_crawl_bench(spark, sf_dir: str, iterations: int = 3):
-    """The headline: synthetic interleaved-docs crawl, URLs scheduled/sec."""
-    from url_pattern_algorithm_spark.plans.crawl import run_crawl
-    from url_pattern_algorithm_spark.sources.synthetic import (
-        docs_df,
-        robots_df,
-        seeds_df,
+def bench_seeds(spark, n_hosts: int, per_host: int):
+    """Large deterministic seed list, generated JVM-side (spark.range)."""
+    from pyspark.sql import functions as F
+
+    rng = spark.range(n_hosts * per_host)
+    h = (F.col("id") % n_hosts).cast("string")
+    return rng.select(
+        F.concat(
+            F.lit("http://site"), h, F.lit(".example.com/cat/news/"),
+            (F.col("id") / n_hosts).cast("long").cast("string"),
+        ).alias("url"),
+        (1.0 + F.pmod(F.col("id") * 2654435761, F.lit(1000)) / 1000.0).alias(
+            "priority"
+        ),
     )
 
-    n_docs, n_hosts = 20000, 32
+
+def run_crawl_bench(spark, sf_dir: str, iterations: int = 3):
+    """The headline: synthetic interleaved-docs crawl, URLs scheduled/sec
+    through the full normalize -> robots -> seen -> politeness -> top-k ->
+    checkpoint pipeline, with budgets sized for batch scheduling."""
+    from url_pattern_algorithm_spark.plans.crawl import Politeness, run_crawl
+    from url_pattern_algorithm_spark.sources.synthetic import docs_df, robots_df
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+    n_hosts = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "32"))
+    per_host = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "300"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "256"))
     docs = docs_df(spark, n_docs, n_hosts).persist()
     docs.count()
-    seeds = seeds_df(spark, n_hosts)
+    seeds = bench_seeds(spark, n_hosts, per_host)
     robots = robots_df(spark, n_hosts)
+    pol = Politeness(tokens_init=budget, tokens_cap=budget, refill=budget)
     root = tempfile.mkdtemp(prefix="bench_crawl_")
     t0 = time.time()
     counts = run_crawl(
         spark, docs, seeds, robots, root, n_docs=n_docs,
-        iterations=iterations, run_id="bench",
+        iterations=iterations, run_id="bench", pol=pol,
     )
     dt = time.time() - t0
     docs.unpersist()

@@ -1,0 +1,191 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing (SURVEY.md training-data additions)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from url_pattern_algorithm_spark.operators.dedup import (
+    exact_jaccard,
+    lsh_candidate_pairs,
+    minhash_near_duplicates,
+    minhash_signatures,
+    simhash16,
+    word_shingles,
+)
+from url_pattern_algorithm_spark.operators.multimodal import (
+    extract_media_features,
+    media_spans,
+)
+from url_pattern_algorithm_spark.operators.similarity import (
+    ann_bucketed_topk,
+    cosine_topk,
+)
+from url_pattern_algorithm_spark.operators.textstats import (
+    detect_lang,
+    language_id,
+    quality_features,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " extra"),              # near-dup of 1
+        (3, "completely different words here about other topics entirely"),
+        (4, base),                          # exact dup of 1
+        (5, "a b"),                         # too short for 3-shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_shingles(spark, tiny_docs):
+    sh = word_shingles(tiny_docs).collect()
+    by_doc = {}
+    for r in sh:
+        by_doc.setdefault(r.doc_id, set()).add(r.shingle)
+    assert "alpha beta gamma" in by_doc[1]
+    assert len(by_doc[1]) == 8  # 10 words -> 8 shingles
+    assert 5 not in by_doc  # <3 words -> dropped
+    assert by_doc[1] == by_doc[4]
+
+
+def test_minhash_est_tracks_exact_jaccard(spark, tiny_docs):
+    nd = {(r.doc_a, r.doc_b): r.est_jaccard
+          for r in minhash_near_duplicates(tiny_docs, threshold=0.3).collect()}
+    assert nd[(1, 4)] == 1.0  # identical docs -> identical signatures
+    assert (1, 2) in nd and nd[(1, 2)] >= 0.5  # near-dup caught
+    assert all(a != 3 and b != 3 for a, b in nd)  # unrelated doc never pairs
+
+
+def test_exact_jaccard(spark, tiny_docs):
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)],
+                                  "doc_a long, doc_b long")
+    j = {(r.doc_a, r.doc_b): r.jaccard
+         for r in exact_jaccard(tiny_docs, pairs).collect()}
+    assert j[(1, 4)] == 1.0
+    assert j[(1, 3)] == 0.0
+    # doc2 = doc1 + 1 word: 9 shingles, 8 shared
+    assert abs(j[(1, 2)] - 8 / 9) < 1e-9
+
+
+def test_simhash_near_dup_small_hamming(spark, tiny_docs):
+    sh = {r.doc_id: int(r.simhash) for r in simhash16(tiny_docs).collect()}
+    assert sh[1] == sh[4]
+    ham_12 = bin(sh[1] ^ sh[2]).count("1")
+    ham_13 = bin(sh[1] ^ sh[3]).count("1")
+    assert ham_12 <= ham_13
+
+
+def test_lsh_bands_find_identical(spark, tiny_docs):
+    sigs = minhash_signatures(word_shingles(tiny_docs))
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (1, 4) in pairs
+
+
+@pytest.fixture(scope="module")
+def tiny_vecs(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 16).astype("float32")
+    vecs[1] = vecs[0] + 0.01 * rng.randn(16).astype("float32")  # near 0
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        vecs,
+    )
+
+
+def test_cosine_topk_matches_numpy(spark, tiny_vecs):
+    import numpy as np
+
+    df, vecs = tiny_vecs
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    got = [(r.neighbor_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    v = vecs.astype("float64")
+    cos = v @ v[0] / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    cos[0] = -np.inf
+    expect = list(np.argsort(-cos)[:3])
+    assert [g[0] for g in got] == [int(e) for e in expect]
+    assert got[0][0] == 1  # the planted near-neighbor ranks first
+
+
+def test_ann_bucketed_recall_on_planted_pair(spark, tiny_vecs):
+    df, _ = tiny_vecs
+    out = ann_bucketed_topk(df, df.filter(F.col("vec_id") == 0), k=3,
+                            n_planes=4, dim=16).collect()
+    # planted near-duplicate almost always lands in the same bucket
+    assert any(r.neighbor_id == 1 for r in out)
+
+
+def test_detect_lang_real_sentences():
+    cases = {
+        "the quick brown fox jumps over the lazy dog and runs away": "en",
+        "le chat noir est sur la table avec les livres de la maison": "fr",
+        "der hund und die katze sind nicht in dem haus mit einer maus": "de",
+        "el perro y el gato no son para la casa con este libro": "es",
+    }
+    for text, lang in cases.items():
+        got, score = detect_lang(text)
+        assert got == lang, (text, got)
+        assert score > 0
+    assert detect_lang("") == ("und", 0.0)
+
+
+def test_language_id_df(spark, tiny_docs):
+    out = language_id(tiny_docs)
+    assert out.filter(F.col("lang_pred").isNull()).count() == 0
+    assert {"lang_pred", "lang_score"} <= set(out.columns)
+
+
+def test_quality_features(spark, tiny_docs):
+    r = {x.doc_id: x for x in quality_features(tiny_docs).collect()}
+    assert r[1].n_tokens == 10
+    assert r[1].stopword_ratio == 0.0
+    assert 0 <= r[1].quality_score <= 1
+
+
+@pytest.fixture(scope="module")
+def spans_docs(spark):
+    rows = [
+        ("d1", [
+            {"kind": "text", "text": "hello", "media_ref": None, "offset": 0},
+            {"kind": "image", "text": None,
+             "media_ref": "http://img.example.com/a.jpg", "offset": 1},
+            {"kind": "video", "text": None,
+             "media_ref": "http://cdn.example.com/v.mp4", "offset": 2},
+        ]),
+        ("d2", [
+            {"kind": "text", "text": "plain", "media_ref": None, "offset": 0},
+        ]),
+    ]
+    schema = ("doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    return spark.createDataFrame(rows, schema)
+
+
+def test_media_spans_projection(spark, spans_docs):
+    m = media_spans(spans_docs).collect()
+    assert {(r.doc_id, r.kind) for r in m} == {("d1", "image"), ("d1", "video")}
+    assert all(r.media_ref.startswith("http://") for r in m)
+
+
+def test_media_feature_stub_deterministic(spark, spans_docs):
+    m = media_spans(spans_docs)
+    a = sorted(extract_media_features(m, decode_stub=True).collect())
+    b = sorted(extract_media_features(m, decode_stub=True, n_buckets=4).collect())
+    assert a == b  # repartitioning must not change decode output
+    img = next(r for r in a if r.kind == "image")
+    assert img.n_frames == 1
+    assert len(img.feature) == 8
+    assert all(-1.0 <= f <= 1.0 for f in img.feature)
+
+
+def test_media_decode_real_path_raises(spark, spans_docs):
+    m = media_spans(spans_docs)
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        extract_media_features(m, decode_stub=False).collect()

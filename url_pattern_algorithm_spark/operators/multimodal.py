@@ -1,0 +1,109 @@
+"""Multimodal span processing: media decode / feature-extract plumbing.
+
+Media spans are opaque references (``media_ref``) with typed metadata; the
+Spark-side contract — schema, Arrow batch shape, partitioning — is real and
+tested, while the actual byte decode is STUBBED (no image/audio libraries in
+this environment): ``decode_stub=True`` produces deterministic fake
+dimensions/features from the ref hash; ``decode_stub=False`` raises
+NotImplementedError where a real decoder (PIL/ffmpeg) would plug in.
+
+Design for 100 TB: media work runs through ``mapInPandas`` so each Arrow
+batch is processed columnar-side with bounded memory; the media table is
+repartitioned by ``bucket(media_ref)`` upstream so decode load spreads
+evenly regardless of per-doc media skew.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_FEATURES_SCHEMA = (
+    "doc_id string, media_ref string, kind string, width int, height int, "
+    "n_frames int, feature array<float>"
+)
+
+_FEATURE_DIM = 8
+
+
+def _fake_decode(ref: str, kind: str) -> tuple[int, int, int, list[float]]:
+    """Deterministic stand-in for a media decoder (REMOVE when a real
+    decoder is wired in): dims/frames/features from the ref's md5."""
+    h = hashlib.md5(ref.encode()).digest()
+    width = 160 + h[0] * 8
+    height = 120 + h[1] * 8
+    n_frames = 1 if kind == "image" else 1 + h[2] % 240
+    # (b-128)/128 is binary-exact in double — no rounding, so the DuckDB
+    # oracle reproduces it bit-for-bit
+    feature = [(b - 128) / 128.0 for b in h[:_FEATURE_DIM]]
+    return width, height, n_frames, feature
+
+
+def media_spans(docs: DataFrame) -> DataFrame:
+    """Explode interleaved docs to one row per media span
+    (doc_id, media_ref, kind, offset) — order-preserving projection."""
+    s = docs.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    )
+    return (
+        s.filter(F.col("span.kind").isin("image", "video", "audio"))
+        .filter(F.col("span.media_ref").isNotNull())
+        .select(
+            "doc_id",
+            F.col("span.media_ref").alias("media_ref"),
+            F.col("span.kind").alias("kind"),
+            F.col("pos").alias("span_pos"),
+            F.col("span.offset").alias("offset"),
+        )
+    )
+
+
+def extract_media_features(
+    media: DataFrame, decode_stub: bool = True, n_buckets: int | None = None
+) -> DataFrame:
+    """media rows -> decoded metadata + feature vectors via mapInPandas.
+
+    ``n_buckets`` repartitions by media_ref hash first (decode-load
+    balancing for skewed docs); default leaves partitioning alone.
+    """
+    if n_buckets:
+        media = media.repartition(n_buckets, F.xxhash64("media_ref"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decoding needs PIL/ffmpeg — not available "
+                    "in this environment; run with decode_stub=True"
+                )
+            rows = [
+                _fake_decode(r, k)
+                for r, k in zip(pdf["media_ref"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "kind": pdf["kind"],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "n_frames": [r[2] for r in rows],
+                    "feature": [r[3] for r in rows],
+                }
+            )
+
+    return media.select("doc_id", "media_ref", "kind").mapInPandas(
+        decode, MEDIA_FEATURES_SCHEMA
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Per-kind span counts + distinct refs (the relational summary)."""
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n_spans"),
+        F.countDistinct("media_ref").alias("n_refs"),
+    )

@@ -1,0 +1,134 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed ANN.
+
+The embeddings table is (vec_id:long, embedding:array<float>, label:int).
+Everything stays in JVM expressions — dot products via zip_with/aggregate
+(whole-stage codegen over the array), no Python UDFs.
+
+Scale path: brute-force is O(Q x N) — fine for a broadcast-able query set
+against a partitioned corpus (Catalyst broadcasts the small side; each
+executor scans its corpus slice once). For corpus-x-corpus joins use
+``lsh_buckets`` first: random-hyperplane signs bucket the corpus so only
+same-bucket pairs are compared (the IVF-style shuffle-friendly variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from url_pattern_algorithm_spark.operators.dedup import MINHASH_P, _h60
+
+
+def _dot(a, b):
+    """Sequential-fold dot product in double (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", _norm(F.col(vec_col)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, neighbor_id, cos, rank): exact top-k by cosine.
+
+    The query side is broadcast (small by construction); ranking order is
+    total (cos DESC, neighbor_id ASC) so results are deterministic.
+    Self-matches are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    cos = _dot(F.col("q_vec"), F.col("c_vec")) / (
+        _norm(F.col("q_vec")) * _norm(F.col("c_vec"))
+    )
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_buckets(df: DataFrame, n_planes: int = 8,
+                vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """+ ``bucket``: sign pattern under n_planes pseudo-random hyperplanes.
+
+    Plane coefficients are derived from the deterministic 60-bit hash of
+    'p{plane}:{dim}' mapped to [-1, 1) — reproducible in SQL, no stored
+    model. One shuffle-free projection: planes explode x n_planes, dot via
+    per-dimension explode + groupBy sum would shuffle, so instead the dot
+    runs inside an array fold per plane (codegen, zero shuffle).
+    """
+    planes = []
+    for p in range(n_planes):
+        # driver-side literal coefficients (tiny: n_planes x dim doubles)
+        import hashlib
+
+        coefs = []
+        for d in range(dim):
+            hx = int(hashlib.md5(f"p{p}:{d}".encode()).hexdigest()[:15], 16)
+            coefs.append(((hx % MINHASH_P) / MINHASH_P) * 2.0 - 1.0)
+        planes.append(F.array(*[F.lit(c) for c in coefs]))
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        bucket = bucket + F.when(
+            _dot(F.col(vec_col), plane) >= 0, F.lit(1 << p)
+        ).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket)
+
+
+def ann_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                      n_planes: int = 8, vec_col: str = "embedding",
+                      id_col: str = "vec_id", dim: int = 64) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket
+    (equi-join on bucket instead of a cross join). Recall < 1 by design;
+    rank order within the bucket is exact cosine."""
+    cb = lsh_buckets(corpus, n_planes, vec_col, dim)
+    qb = lsh_buckets(queries, n_planes, vec_col, dim)
+    q = qb.select(F.col(id_col).alias("query_id"), "bucket",
+                  F.col(vec_col).alias("q_vec"))
+    c = cb.select(F.col(id_col).alias("neighbor_id"), "bucket",
+                  F.col(vec_col).alias("c_vec"))
+    cos = _dot(F.col("q_vec"), F.col("c_vec")) / (
+        _norm(F.col("q_vec")) * _norm(F.col("c_vec"))
+    )
+    scored = (
+        F.broadcast(q).join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

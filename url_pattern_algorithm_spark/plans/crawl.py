@@ -44,6 +44,20 @@ TOKENS_INIT = 2.0
 TOKENS_CAP = 4.0
 REFILL = 1.0
 
+
+class Politeness:
+    """Per-host token-bucket parameters (defaults = parity-test values;
+    benches raise them to schedule large batches per iteration)."""
+
+    def __init__(self, tokens_init: float = TOKENS_INIT,
+                 tokens_cap: float = TOKENS_CAP, refill: float = REFILL):
+        self.tokens_init = tokens_init
+        self.tokens_cap = tokens_cap
+        self.refill = refill
+
+
+DEFAULT_POLITENESS = Politeness()
+
 PENDING_COLS = ["url", "url_canon", "url_hash", "host", "priority", "discovered_iter"]
 
 
@@ -91,6 +105,7 @@ def init_state(
     robots: DataFrame,
     cat: Catalog,
     run_id: str,
+    pol: Politeness = DEFAULT_POLITENESS,
 ) -> None:
     """Iteration 0: seed list -> pending/seen/host_state snapshots."""
     cand = with_url_columns(seeds).filter(F.col("url_canon").isNotNull())
@@ -101,16 +116,20 @@ def init_state(
         F.min("host").alias("host"),
         F.max("priority").alias("priority"),
     ).select(*PENDING_COLS[:5], F.lit(0).alias("discovered_iter"))
+    # one UDF pass: pending feeds three checkpoint writes
+    pending = pending.persist()
     cat.write_checkpoint(pending, "pending_0", run_id, 0)
     seen = pending.select("url_hash", "url_canon", F.lit(0).alias("first_iter"))
     cat.write_checkpoint(seen, "seen_0", run_id, 0)
     host_state = pending.select("host").distinct().select(
         "host",
-        F.lit(TOKENS_INIT).alias("tokens"),
+        F.lit(pol.tokens_init).alias("tokens"),
         F.lit(0).alias("last_iter"),
         F.lit(1.0).alias("crawl_delay"),
     )
     cat.write_checkpoint(host_state, "host_state_0", run_id, 0)
+    cat.flush_metrics()
+    pending.unpersist()
 
 
 def run_iteration(
@@ -124,6 +143,7 @@ def run_iteration(
     salts: int = 16,
     use_bloom: bool = True,
     bloom_buckets: int = 64,
+    pol: Politeness = DEFAULT_POLITENESS,
 ) -> int:
     """Advance one iteration from snapshot ``iteration-1``; returns the
     number of scheduled URLs."""
@@ -135,7 +155,7 @@ def run_iteration(
     )
 
     # 1. politeness budgets + salted priority top-k
-    budgets = politeness_budgets(host_state, REFILL, TOKENS_CAP)
+    budgets = politeness_budgets(host_state, pol.refill, pol.tokens_cap)
     frontier = pending.join(F.broadcast(budgets), "host", "inner")
     scheduled = schedule_top_k(frontier, F.col("budget"), salts=salts)
     scheduled = scheduled.persist()
@@ -173,6 +193,10 @@ def run_iteration(
     new_rows = _new_frontier_rows(
         spark, raw_candidates, robots, seen, blooms, iteration
     )
+    # the candidate pipeline (links UDF -> normalize UDF -> robots -> seen
+    # filter -> dedup shuffle) feeds pending_N, seen_N and host_state_N:
+    # persist so it runs once, not three times
+    new_rows = new_rows.persist()
 
     # 4. next snapshots
     remaining = pending.join(
@@ -191,7 +215,7 @@ def run_iteration(
         .join(new_host_state.select("host"), "host", "left_anti")
         .select(
             "host",
-            F.lit(TOKENS_INIT).alias("tokens"),
+            F.lit(pol.tokens_init).alias("tokens"),
             F.lit(iteration).alias("last_iter"),
             F.lit(1.0).alias("crawl_delay"),
         )
@@ -203,6 +227,8 @@ def run_iteration(
         run_id,
         iteration,
     )
+    cat.flush_metrics()
+    new_rows.unpersist()
     scheduled.unpersist()
     return n_scheduled
 
@@ -219,6 +245,7 @@ def run_crawl(
     resume_from: int | None = None,
     salts: int = 16,
     use_bloom: bool = True,
+    pol: Politeness = DEFAULT_POLITENESS,
 ) -> dict[int, int]:
     """Run (or resume) the crawl; returns {iteration: n_scheduled}.
 
@@ -234,11 +261,12 @@ def run_crawl(
     counts: dict[int, int] = {}
     start = 1
     if resume_from is None:
-        init_state(spark, seeds, robots, cat, run_id)
+        init_state(spark, seeds, robots, cat, run_id, pol)
     else:
         start = resume_from + 1
     for it in range(start, iterations + 1):
         counts[it] = run_iteration(
-            spark, docs, robots, cat, run_id, it, n_docs, salts, use_bloom
+            spark, docs, robots, cat, run_id, it, n_docs, salts, use_bloom,
+            pol=pol,
         )
     return counts

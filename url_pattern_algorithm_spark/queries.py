@@ -629,6 +629,531 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# E2. Dedup / fingerprinting (operators/dedup.py) — md5-derived hashes keep
+# every step DuckDB-reproducible. The corpus is augmented with mutated
+# copies (doc_id+100000, one appended word) so near-dup pairs exist by
+# construction.
+# ---------------------------------------------------------------------------
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz"),
+                 (F.col("doc_id") % 7).cast("string")).alias("text"),
+    )
+    return d.unionByName(mut)
+
+
+AUG_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zz' || (doc_id % 7)
+  FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+SHINGLES_SQL = AUG_SQL + """
+, words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+sh0 AS (
+  SELECT doc_id, unnest(range(1, len(ws) - 1)) AS s, ws
+  FROM words WHERE len(ws) >= 3
+),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[s:s+2], ' ') AS shingle FROM sh0
+)
+"""
+
+from url_pattern_algorithm_spark.operators.dedup import (  # noqa: E402
+    MINHASH_P,
+    N_PERMS,
+    PERMS,
+    exact_jaccard,
+    fingerprint,
+    minhash_near_duplicates,
+    simhash16,
+)
+
+_PERMS_VALUES = ", ".join(f"({j}, {a}, {b})" for j, a, b in PERMS)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nd = minhash_near_duplicates(_aug_docs(spark, sf_dir), threshold=0.5)
+    return nd.select("doc_a", "doc_b", "est_jaccard")
+
+
+SQL_DEDUP_MINHASH = SHINGLES_SQL + f"""
+, perms(j, a, b) AS (VALUES {_PERMS_VALUES}),
+h AS (SELECT doc_id, {H60_SQL.format(x='shingle')} % {MINHASH_P} AS h FROM shingles),
+sigs AS (
+  SELECT doc_id, j, min((a * h + b) % {MINHASH_P}) AS sig
+  FROM h, perms GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, j // 4 AS band, string_agg(sig, ',' ORDER BY j) AS band_key
+  FROM sigs GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b,
+         sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) / {N_PERMS}.0
+           AS est_jaccard
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = doc_a
+  JOIN sigs sb ON sb.doc_id = doc_b AND sa.j = sb.j
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash16(_aug_docs(spark, sf_dir))
+
+
+SQL_DEDUP_SIMHASH = AUG_SQL + f"""
+, w0 AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus
+  )
+),
+wb AS (SELECT doc_id, {H60_SQL.format(x='w')} % 65536 AS w16 FROM w0),
+bits AS (
+  SELECT doc_id, b, (w16 // (1::BIGINT << b)) % 2 AS bit
+  FROM wb, range(0, 16) t(b)
+),
+votes AS (SELECT doc_id, b, sum(bit) AS ones, count(*) AS n FROM bits GROUP BY 1, 2)
+SELECT doc_id,
+       sum(CASE WHEN 2 * ones >= n THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _aug_docs(spark, sf_dir)
+    pairs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").alias("doc_a"),
+                (F.col("doc_id") + 100000).alias("doc_b"))
+    )
+    j = exact_jaccard(corpus, pairs)
+    return j.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_DEDUP_NGRAM_JACCARD = SHINGLES_SQL + """
+, pairs AS (
+  SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b
+  FROM documents WHERE doc_id % 5 = 0
+),
+counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN shingles sa ON sa.doc_id = p.doc_a
+  JOIN shingles sb ON sb.doc_id = p.doc_b AND sa.shingle = sb.shingle
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       round(coalesce(n_inter, 0) * 1.0 /
+             (ca.n + cb.n - coalesce(n_inter, 0)), 6) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN counts ca ON ca.doc_id = p.doc_a
+JOIN counts cb ON cb.doc_id = p.doc_b
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOC_FINGERPRINT = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh0 AS (
+  SELECT doc_id, unnest(range(1, len(ws) - 1)) AS s, ws
+  FROM words WHERE len(ws) >= 3
+),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[s:s+2], ' ') AS shingle FROM sh0
+)
+SELECT doc_id, min({h}) AS fingerprint FROM shingles GROUP BY doc_id
+""".format(h=H60_SQL.format(x="shingle"))
+
+
+# ---------------------------------------------------------------------------
+# E3. Similarity search (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+from url_pattern_algorithm_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+    lsh_buckets,
+)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(emb, qs, k=10)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("cos", 6).alias("cos"))
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+           AS cos
+  FROM q, c WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    b = lsh_buckets(emb, n_planes=8, dim=64)
+    return b.groupBy("bucket").agg(F.count("*").alias("n_vecs"))
+
+
+SQL_ANN_LSH_BUCKETS = """
+WITH coefs AS (
+  SELECT p, d,
+         (({h} % 2147483647) / 2147483647.0) * 2 - 1 AS c
+  FROM range(0, 8) tp(p), range(0, 64) td(d)
+),
+dots AS (
+  SELECT vec_id, p, sum(embedding[d + 1]::DOUBLE * c) AS dot
+  FROM embeddings, coefs
+  GROUP BY vec_id, p
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id
+)
+SELECT bucket, count(*) AS n_vecs FROM buckets GROUP BY bucket
+""".format(h=H60_SQL.format(x="'p' || p || ':' || d"))
+
+
+# ---------------------------------------------------------------------------
+# E4. Text analysis (operators/textstats.py)
+# ---------------------------------------------------------------------------
+
+from url_pattern_algorithm_spark.operators.textstats import (  # noqa: E402
+    language_id,
+    token_count_bpeish,
+)
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-profile language ID (pandas UDF — no SQL oracle; real
+    multilingual behavior is pinned by golden tests in tests/)."""
+    d = _t(spark, sf_dir, "documents")
+    return language_id(d).select("doc_id", "lang", "lang_pred", "lang_score")
+
+
+def q_doc_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return token_count_bpeish(d).select("doc_id", "token_count")
+
+
+SQL_DOC_TOKEN_BPEISH = """
+SELECT doc_id,
+       (SELECT sum(ceil(length(w) / 4.0)::BIGINT)
+        FROM unnest(string_split_regex(text, '\\s+')) t(w)) AS token_count
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# E5. Interleaved spans / multimodal (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+from url_pattern_algorithm_spark.functions.links import extract_links_udf  # noqa: E402
+from url_pattern_algorithm_spark.operators.multimodal import (  # noqa: E402
+    extract_media_features,
+    media_spans,
+    media_stats,
+)
+
+
+def _spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-docs table (input_hint schema) derived from documents:
+    every doc a text span; doc_id%3==0 adds an image; doc_id%5==0 adds a
+    link; doc_id%4==1 adds a video."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    null_s = F.lit(None).cast("string")
+
+    def span(kind, text, media, offset):
+        return F.struct(
+            F.lit(kind).alias("kind"), text.alias("text"),
+            media.alias("media_ref"), F.lit(offset).cast("int").alias("offset"),
+        )
+
+    text_span = span("text", F.col("text"), null_s, 0)
+    img = span(
+        "image", null_s,
+        F.concat(F.lit("http://img.host"), (did % 7).cast("string"),
+                 F.lit(".com/i"), did.cast("string"), F.lit(".jpg")), 1,
+    )
+    link = span(
+        "link",
+        F.concat(F.lit("http://www.host"), (did % 40).cast("string"),
+                 F.lit(".com/doc/"), did.cast("string")), null_s, 2,
+    )
+    vid = span(
+        "video", null_s,
+        F.concat(F.lit("http://cdn.host"), (did % 5).cast("string"),
+                 F.lit(".com/v"), did.cast("string"), F.lit(".mp4")), 3,
+    )
+    null_span = F.lit(None).cast(
+        "struct<kind:string,text:string,media_ref:string,offset:int>"
+    )
+    spans = F.filter(
+        F.array(
+            text_span,
+            F.when(did % 3 == 0, img).otherwise(null_span),
+            F.when(did % 5 == 0, link).otherwise(null_span),
+            F.when(did % 4 == 1, vid).otherwise(null_span),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    return d.select(did.cast("string").alias("doc_id"), spans.alias("spans"))
+
+
+def q_spans_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spans_docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.explode(extract_links_udf(F.col("spans"))).alias("url")
+    )
+
+
+# expected candidates, stated directly from the span construction rules:
+# image media_ref (http) + link text + video media_ref; text spans hold no
+# absolute URLs in this corpus.
+SQL_SPANS_EXTRACT_LINKS = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'http://img.host' || (doc_id % 7) || '.com/i' || doc_id || '.jpg' AS url
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR),
+       'http://www.host' || (doc_id % 40) || '.com/doc/' || doc_id
+FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR),
+       'http://cdn.host' || (doc_id % 5) || '.com/v' || doc_id || '.mp4'
+FROM documents WHERE doc_id % 4 = 1
+"""
+
+
+def q_spans_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spans_docs(spark, sf_dir)
+    return media_stats(media_spans(docs))
+
+
+SQL_SPANS_MEDIA_STATS = """
+WITH m AS (
+  SELECT 'image' AS kind,
+         'http://img.host' || (doc_id % 7) || '.com/i' || doc_id || '.jpg'
+           AS media_ref
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'video',
+         'http://cdn.host' || (doc_id % 5) || '.com/v' || doc_id || '.mp4'
+  FROM documents WHERE doc_id % 4 = 1
+)
+SELECT kind, count(*) AS n_spans, count(DISTINCT media_ref) AS n_refs
+FROM m GROUP BY kind
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spans_docs(spark, sf_dir)
+    feats = extract_media_features(media_spans(docs), decode_stub=True)
+    return feats.select(
+        "doc_id", "media_ref", "kind", "width", "height", "n_frames",
+        F.element_at("feature", 1).cast("double").alias("f0"),
+    )
+
+
+SQL_MEDIA_FEATURES = """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'image' AS kind,
+         'http://img.host' || (doc_id % 7) || '.com/i' || doc_id || '.jpg'
+           AS media_ref
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'video',
+         'http://cdn.host' || (doc_id % 5) || '.com/v' || doc_id || '.mp4'
+  FROM documents WHERE doc_id % 4 = 1
+),
+h AS (
+  SELECT doc_id, media_ref, kind,
+         CAST(concat('0x', substr(md5(media_ref), 1, 2)) AS INT) AS b0,
+         CAST(concat('0x', substr(md5(media_ref), 3, 2)) AS INT) AS b1,
+         CAST(concat('0x', substr(md5(media_ref), 5, 2)) AS INT) AS b2
+  FROM m
+)
+SELECT doc_id, media_ref, kind,
+       160 + b0 * 8 AS width, 120 + b1 * 8 AS height,
+       CASE WHEN kind = 'image' THEN 1 ELSE 1 + b2 % 240 END AS n_frames,
+       (b0 - 128) / 128.0 AS f0
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# E6. Relational node-pair joins (operators/rulejoin.py) on a synthesized
+# membership structure: 40 range nodes of 50 urls + one spread node (every
+# 5th url), 20 clusters of 100 urls each.
+# ---------------------------------------------------------------------------
+
+from url_pattern_algorithm_spark.operators.rulejoin import (  # noqa: E402
+    key_mapping_argmax,
+    node_pair_overlap,
+)
+
+
+def q_node_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = spark.range(2000).select(F.col("id").alias("i"))
+    url = F.concat(F.lit("u"), F.col("i").cast("string"))
+    membership = idx.select(
+        url.alias("url"), (F.col("i") / 50).cast("long").alias("node_id")
+    ).unionByName(
+        idx.filter(F.col("i") % 5 == 0).select(
+            url.alias("url"), F.lit(999).alias("node_id"))
+    )
+    clusters = idx.select(
+        (F.col("i") / 100).cast("long").alias("cluster_id"), url.alias("url")
+    )
+    sizes = membership.groupBy("node_id").agg(F.count("*").alias("size"))
+    out = node_pair_overlap(clusters, membership, sizes, threshold=0.5)
+    return out.select("cluster_id", "n1", "n2",
+                      F.round("overlap", 6).alias("overlap"))
+
+
+SQL_NODE_PAIR_OVERLAP = """
+WITH idx AS (SELECT unnest(range(0, 2000)) AS i),
+membership AS (
+  SELECT 'u' || i AS url, i // 50 AS node_id FROM idx
+  UNION ALL
+  SELECT 'u' || i, 999 FROM idx WHERE i % 5 = 0
+),
+clusters AS (SELECT i // 100 AS cluster_id, 'u' || i AS url FROM idx),
+sizes AS (SELECT node_id, count(*) AS size FROM membership GROUP BY node_id),
+rel AS (
+  SELECT c.cluster_id, m.node_id, c.url
+  FROM clusters c JOIN membership m ON c.url = m.url
+),
+np AS (SELECT DISTINCT cluster_id, node_id FROM rel),
+pairs AS (
+  SELECT a.cluster_id, a.node_id AS n1, b.node_id AS n2
+  FROM np a JOIN np b ON a.cluster_id = b.cluster_id AND a.node_id < b.node_id
+),
+cs AS (SELECT cluster_id, count(*) AS c_size FROM clusters GROUP BY 1),
+pruned AS (
+  SELECT p.cluster_id, p.n1, p.n2, z1.size AS s1, z2.size AS s2
+  FROM pairs p
+  JOIN cs ON cs.cluster_id = p.cluster_id
+  JOIN sizes z1 ON z1.node_id = p.n1
+  JOIN sizes z2 ON z2.node_id = p.n2
+  WHERE cs.c_size * 1.0 / (z1.size + z2.size) >= 0.5
+),
+hits AS (
+  SELECT cluster_id, n1, n2, s1, s2, count(*) AS n_hit FROM (
+    SELECT DISTINCT p.cluster_id, p.n1, p.n2, p.s1, p.s2, r.url
+    FROM pruned p JOIN rel r
+      ON r.cluster_id = p.cluster_id AND r.node_id IN (p.n1, p.n2)
+  ) GROUP BY 1, 2, 3, 4, 5
+)
+SELECT cluster_id, n1, n2, round(n_hit * 1.0 / (s1 + s2), 6) AS overlap
+FROM hits WHERE n_hit * 1.0 / (s1 + s2) >= 0.5
+"""
+
+
+def q_key_mapping_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = spark.range(60).select(F.col("id").alias("i"))
+    i = F.col("i")
+
+    def kvrow(node, key, value):
+        return idx.select(
+            F.lit(node).alias("node_id"), F.lit(key).alias("key"),
+            value.alias("value"),
+        )
+
+    node_kv = (
+        kvrow(1, "id", F.concat(F.lit("v"), (i % 50).cast("string")))
+        .unionByName(kvrow(1, "cat", F.concat(F.lit("c"), (i % 7).cast("string"))))
+        .unionByName(kvrow(1, "junk", F.concat(F.lit("j"), i.cast("string"))))
+        .unionByName(kvrow(2, "ref", F.concat(F.lit("v"), (i % 50).cast("string"))))
+        .unionByName(kvrow(2, "cat", F.concat(F.lit("c"), (i % 7).cast("string"))))
+        .unionByName(kvrow(2, "x", F.concat(F.lit("x"), i.cast("string"))))
+    )
+    sizes = spark.createDataFrame([(1, 60), (2, 60)], "node_id int, size int")
+    pairs = spark.createDataFrame([(1, 2)], "s int, t int")
+    out = key_mapping_argmax(node_kv, sizes, pairs, threshold=0.5)
+    return out.select("s", "t", "key1", "key2", F.round("rate", 6).alias("rate"))
+
+
+SQL_KEY_MAPPING_ARGMAX = """
+WITH idx AS (SELECT unnest(range(0, 60)) AS i),
+node_kv AS (
+  SELECT 1 AS node_id, 'id' AS key, 'v' || (i % 50) AS value FROM idx
+  UNION ALL SELECT 1, 'cat', 'c' || (i % 7) FROM idx
+  UNION ALL SELECT 1, 'junk', 'j' || i FROM idx
+  UNION ALL SELECT 2, 'ref', 'v' || (i % 50) FROM idx
+  UNION ALL SELECT 2, 'cat', 'c' || (i % 7) FROM idx
+  UNION ALL SELECT 2, 'x', 'x' || i FROM idx
+),
+dv AS (SELECT DISTINCT node_id, key, value FROM node_kv),
+keys AS (SELECT DISTINCT node_id, key FROM dv),
+combos AS (
+  SELECT 1 AS s, 2 AS t, a.key AS key1, b.key AS key2
+  FROM keys a, keys b WHERE a.node_id = 1 AND b.node_id = 2
+),
+shared AS (
+  SELECT va.key AS key1, vb.key AS key2, count(*) AS shared
+  FROM dv va JOIN dv vb
+    ON va.node_id = 1 AND vb.node_id = 2 AND va.value = vb.value
+  GROUP BY 1, 2
+),
+rated AS (
+  SELECT c.s, c.t, c.key1, c.key2,
+         coalesce(sh.shared, 0) * 1.0 / (60 + 60 - coalesce(sh.shared, 0))
+           AS rate
+  FROM combos c
+  LEFT JOIN shared sh ON sh.key1 = c.key1 AND sh.key2 = c.key2
+),
+ranked AS (
+  SELECT s, t, key1, key2, rate,
+         row_number() OVER (PARTITION BY s, t, key2
+                            ORDER BY rate DESC, key1) AS rn
+  FROM rated
+)
+SELECT s, t, key1, key2, round(rate, 6) AS rate
+FROM ranked WHERE rn = 1 AND rate >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
 # F. Events rollup
 # ---------------------------------------------------------------------------
 
@@ -675,6 +1200,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
     "events_rollup": q_events_rollup,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_token_bpeish": q_doc_token_bpeish,
+    "spans_extract_links": q_spans_extract_links,
+    "spans_media_stats": q_spans_media_stats,
+    "media_features": q_media_features,
+    "node_pair_overlap": q_node_pair_overlap,
+    "key_mapping_argmax": q_key_mapping_argmax,
 }
 
 ORACLES: dict[str, str] = {
@@ -696,6 +1234,19 @@ ORACLES: dict[str, str] = {
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_quality": SQL_DOC_QUALITY,
     "events_rollup": SQL_EVENTS_ROLLUP,
-    # pattern_tree_nodes / leaf_alternations / rewrite_* : UDF recursion,
-    # no SQL equivalent — rows-only check; python-oracle parity in tests/.
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
+    "doc_token_bpeish": SQL_DOC_TOKEN_BPEISH,
+    "spans_extract_links": SQL_SPANS_EXTRACT_LINKS,
+    "spans_media_stats": SQL_SPANS_MEDIA_STATS,
+    "media_features": SQL_MEDIA_FEATURES,
+    "node_pair_overlap": SQL_NODE_PAIR_OVERLAP,
+    "key_mapping_argmax": SQL_KEY_MAPPING_ARGMAX,
+    # pattern_tree_nodes / leaf_alternations / rewrite_* / doc_lang_id:
+    # UDF-only logic, no SQL equivalent — rows-only check; python-oracle
+    # parity lives in tests/.
 }

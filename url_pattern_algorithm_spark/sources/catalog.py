@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 _FORMAT = "parquet"
@@ -27,6 +27,7 @@ class Catalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._metrics_buf: list[tuple[str, int, str, int]] = []
 
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -66,23 +67,32 @@ class Catalog:
     ) -> int:
         """Write a lineage-stamped checkpoint table; returns row count.
 
-        The count comes from a single pass (count + write of a cached plan)
-        and lands in the ``_metrics`` table — the per-partition lineage the
+        The count piggybacks on the write itself via ``Observation`` — ONE
+        action, no persist/second pass. Row-count metrics are buffered on the
+        driver and flushed by :meth:`flush_metrics` (one tiny append per
+        iteration instead of one per table). Per-partition lineage the
         north_rule asks for is queryable as
         ``GROUP BY run_id, iteration, partition_id``.
         """
+        obs = Observation()
         stamped = (
             df.withColumn("run_id", F.lit(run_id))
             .withColumn("iteration", F.lit(iteration))
             .withColumn("partition_id", F.spark_partition_id())
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
         )
-        stamped = stamped.persist()
-        n = stamped.count()
         self.write(stamped, name, partition_by=partition_by)
+        n = int(obs.get["rows"])
+        self._metrics_buf.append((run_id, iteration, name, n))
+        return n
+
+    def flush_metrics(self) -> None:
+        """Append buffered row-count metrics to the ``_metrics`` table."""
+        if not self._metrics_buf:
+            return
         metrics = self.spark.createDataFrame(
-            [(run_id, iteration, name, n)],
+            self._metrics_buf,
             "run_id string, iteration int, table string, rows long",
         )
         self.append(metrics, "_metrics")
-        stamped.unpersist()
-        return n
+        self._metrics_buf = []
