@@ -23,9 +23,21 @@ import re
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+from url_pattern_algorithm_spark.kernel.canonical import canonical_url
+from url_pattern_algorithm_spark.kernel.rfc3986 import (
+    rfc3986_normalize,
+    strip_session_ids,
+)
+from url_pattern_algorithm_spark.kernel.tokenize import get_host
 
 _URL_RE = re.compile(r"https?://[^\s\"'<>)\]]+")
+
+
+def get_host_lower(url: str) -> str | None:
+    h = get_host(url)
+    return h.lower() if h is not None else None
 
 
 def extract_links(spans: list | None) -> list[str]:
@@ -56,3 +68,38 @@ def extract_links_udf(spans: pd.Series) -> pd.Series:
     Pair with ``F.explode`` for the frontier's candidate stream (UDTF shape,
     SURVEY.md §2.13)."""
     return spans.map(extract_links)
+
+
+_LINK_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("url", StringType()),
+            StructField("url_canon", StringType()),
+            StructField("host", StringType()),
+        ]
+    )
+)
+
+
+@pandas_udf(_LINK_SCHEMA)
+def extract_normalize_udf(spans: pd.Series) -> pd.Series:
+    """Fused extract + full normalization chain in ONE Arrow pass:
+    spans -> [(url, url_canon, host)]. On the crawl hot path this halves the
+    JVM<->Python round trips vs extract_links_udf followed by a separate
+    normalize UDF over the exploded candidates (the exploded stream is the
+    largest relation in an iteration). Unparsable URLs get null url_canon
+    (filtered downstream, same rule as normalize_url_udf)."""
+
+    def one(spans_row):
+        out = []
+        for u in extract_links(spans_row):
+            try:
+                canon = canonical_url(rfc3986_normalize(strip_session_ids(u)))
+            except Exception:
+                canon = None
+            out.append(
+                {"url": u, "url_canon": canon, "host": get_host_lower(u)}
+            )
+        return out
+
+    return spans.map(one)

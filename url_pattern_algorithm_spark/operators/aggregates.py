@@ -139,6 +139,56 @@ def majority_value(kv: DataFrame, threshold: float = 0.7,
     )
 
 
+def most_frequent_key(
+    kv: DataFrame,
+    exclude: list[str] | None = None,
+    min_ratio: float = 0.99,
+    abs_min: int | None = None,
+) -> DataFrame:
+    """Per host: the key with the most PAIR occurrences (multiplicity counts,
+    not per-URL presence), kept if count/n_urls > min_ratio OR (abs_min set
+    and count > abs_min).
+
+    Parity: getMostedKey (CalculateUtil.java:492-527, ratio 0.99) and
+    getMostedKeyForNoSplitKey (CalculateUtil.java:528-566, abs>100 or
+    ratio>0.5 — pass min_ratio=0.5, abs_min=100). Ties break by key ASC
+    (deterministic replacement for HashMap order).
+    """
+    filtered = kv
+    if exclude:
+        filtered = kv.filter(~F.col("key").isin(*exclude))
+    n_urls = kv.groupBy("host").agg(F.countDistinct("url").alias("n_urls"))
+    counts = filtered.groupBy("host", "key").agg(F.count("*").alias("c"))
+    ranked = counts.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("host").orderBy(F.col("c").desc(), F.col("key"))
+        ),
+    ).filter(F.col("rn") == 1)
+    out = ranked.join(F.broadcast(n_urls), "host").withColumn(
+        "ratio", F.col("c") / F.col("n_urls")
+    )
+    keep = F.col("ratio") > min_ratio
+    if abs_min is not None:
+        keep = keep | (F.col("c") > abs_min)
+    return out.filter(keep).select("host", "key", "c", "ratio")
+
+
+def pattern_sanity(pattern_col, host_col):
+    """Boolean Column: the reject-degenerate-patterns predicate
+    (Main.checkPattern, Main.java:47-69): pattern longer than 5 chars AND
+    longer than host+6; a single-alternation pattern must additionally have
+    some '#'-delimited part (beyond the first) longer than 3 chars."""
+    c1 = F.length(pattern_col) > 5
+    c2 = F.length(pattern_col) > F.length(host_col) + 6
+    single = F.size(F.split(pattern_col, r"\|")) == 1
+    tail_parts = F.slice(
+        F.split(pattern_col, "#"), 2, 1_000_000
+    )  # Java loop starts at part[1]
+    has_long = F.exists(tail_parts, lambda p: F.length(p) > 3)
+    return c1 & c2 & (~single | has_long)
+
+
 def distinct_values(kv: DataFrame, fold: bool = True) -> DataFrame:
     """Distinct (folded) value count per (host, key)
     (ProcessedUrl.java:210-229)."""

@@ -71,52 +71,50 @@ def build_bloom(seen: DataFrame, n_buckets: int = 64,
 def bloom_maybe_seen(candidates: DataFrame, blooms: DataFrame,
                      n_buckets: int = 64) -> DataFrame:
     """Tag candidates with ``maybe_seen``: False -> definitely unseen (skip
-    the anti-join shuffle), True -> needs the exact check. The tiny blooms
-    table broadcast-joins on bucket; membership tests run vectorized in one
-    Arrow batch."""
+    the anti-join shuffle), True -> needs the exact check.
 
-    def test(pdf_iter):
-        for pdf in pdf_iter:
-            out = np.zeros(len(pdf), dtype=bool)
-            has = pdf["bitmap"].notna().to_numpy()
-            if has.any():
-                hashes = pdf["url_hash"].to_numpy(dtype=np.int64).astype(np.uint64)
-                for (m, bmp), idxs in _group_by_bitmap(pdf, has):
-                    bits = np.frombuffer(bmp, dtype=np.uint8)
-                    h1 = hashes[idxs]
-                    h2 = (h1 >> np.uint64(17)) | (h1 << np.uint64(47))
-                    hit = np.ones(len(idxs), dtype=bool)
-                    for k in range(BLOOM_HASHES):
-                        pos = (h1 + np.uint64(k) * h2) % np.uint64(m)
-                        hit &= (
-                            bits[(pos >> np.uint64(3)).astype(np.int64)]
-                            >> (pos & np.uint64(7)).astype(np.uint8)
-                        ) & 1 == 1
-                    out[idxs] = hit
-            yield pdf.drop(columns=["m_bits", "bitmap"]).assign(maybe_seen=out)
+    Formulated as a COGROUP on bucket: each bucket's candidate rows meet
+    their single bitmap row once per task — the bitmap never rides along as
+    a per-row column (a broadcast-join + mapInPandas variant pushed the
+    bitmap through Arrow once PER CANDIDATE ROW: ~16KB x n_candidates, the
+    dominant cost of the whole iteration). This shape also scales: at 10^10
+    seen keys the bitmaps total ~12 GB across 4096 buckets — far too big to
+    broadcast, but each cogroup task only ever holds its own bucket's ~3 MB
+    slice."""
 
-    def _group_by_bitmap(pdf, has):
-        groups = {}
-        mb = pdf["m_bits"].to_numpy()
-        bm = pdf["bitmap"].to_numpy()
-        for i in np.nonzero(has)[0]:
-            key = (int(mb[i]), bytes(bm[i]))
-            groups.setdefault(key, []).append(i)
-        return [(k, np.array(v)) for k, v in groups.items()]
+    def test(cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+        if bloom_pdf.empty:
+            return cand_pdf.assign(maybe_seen=False)
+        m = np.uint64(int(bloom_pdf["m_bits"].iloc[0]))
+        bits = np.frombuffer(bloom_pdf["bitmap"].iloc[0], dtype=np.uint8)
+        h1 = cand_pdf["url_hash"].to_numpy(dtype=np.int64).astype(np.uint64)
+        h2 = (h1 >> np.uint64(17)) | (h1 << np.uint64(47))
+        hit = np.ones(len(h1), dtype=bool)
+        for k in range(BLOOM_HASHES):
+            pos = (h1 + np.uint64(k) * h2) % m
+            hit &= (
+                bits[(pos >> np.uint64(3)).astype(np.int64)]
+                >> (pos & np.uint64(7)).astype(np.uint8)
+            ) & 1 == 1
+        return cand_pdf.assign(maybe_seen=hit)
 
-    tagged = candidates.withColumn(
+    cand_b = candidates.withColumn(
         "bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int")
-    ).join(F.broadcast(blooms), "bucket", "left")
+    )
     schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in tagged.schema.fields
-        if f.name not in ("m_bits", "bitmap")
+        f"{f.name} {f.dataType.simpleString()}" for f in cand_b.schema.fields
     ) + ", maybe_seen boolean"
-    return tagged.mapInPandas(test, schema).drop("bucket")
+    return (
+        cand_b.groupBy("bucket")
+        .cogroup(blooms.groupBy("bucket"))
+        .applyInPandas(test, schema)
+        .drop("bucket")
+    )
 
 
 def seen_filter(candidates: DataFrame, seen: DataFrame | None,
-                blooms: DataFrame | None = None) -> DataFrame:
+                blooms: DataFrame | None = None,
+                n_buckets: int = 64) -> DataFrame:
     """Candidates not in the seen set (URL-seen anti-join, SURVEY.md §2.3).
 
     With a Bloom prefilter: definitely-unseen rows bypass the anti-join
@@ -126,7 +124,7 @@ def seen_filter(candidates: DataFrame, seen: DataFrame | None,
     if seen is None:
         return candidates
     if blooms is not None:
-        tagged = bloom_maybe_seen(candidates, blooms)
+        tagged = bloom_maybe_seen(candidates, blooms, n_buckets)
         sure_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
         checked = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")

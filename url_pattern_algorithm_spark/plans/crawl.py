@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from url_pattern_algorithm_spark.functions.links import extract_links_udf
+from url_pattern_algorithm_spark.functions.links import extract_normalize_udf
 from url_pattern_algorithm_spark.functions.udfs import with_url_columns
 from url_pattern_algorithm_spark.operators.frontier import (
     build_bloom,
@@ -78,11 +78,20 @@ def _new_frontier_rows(
     seen: DataFrame | None,
     blooms: DataFrame | None,
     discovered_iter: int,
+    bloom_buckets: int = 64,
 ) -> DataFrame:
-    """candidates(url) -> normalized, robots-filtered, unseen, deduped rows."""
-    cand = with_url_columns(raw_candidates).filter(F.col("url_canon").isNotNull())
+    """candidates -> normalized, robots-filtered, unseen, deduped rows.
+
+    Accepts either raw (url) rows or pre-normalized (url, url_canon, host)
+    rows from the fused extract+normalize UDF (one Arrow pass on the hot
+    path)."""
+    if "url_canon" not in raw_candidates.columns:
+        cand = with_url_columns(raw_candidates)
+    else:
+        cand = raw_candidates.withColumn("url_hash", F.xxhash64("url_canon"))
+    cand = cand.filter(F.col("url_canon").isNotNull())
     cand = robots_filter(cand, robots)
-    cand = seen_filter(cand, seen, blooms)
+    cand = seen_filter(cand, seen, blooms, bloom_buckets)
     # batch-internal dedup on the canonical hash; deterministic representative
     dedup = cand.groupBy("url_hash").agg(
         F.min("url").alias("url"),
@@ -187,11 +196,11 @@ def run_iteration(
     # doc_id); never monotonically_increasing_id — that's partition-dependent
     pages = fetched.join(docs, "doc_index", "inner")
     raw_candidates = pages.select(
-        F.explode(extract_links_udf(F.col("spans"))).alias("url")
-    )
+        F.explode(extract_normalize_udf(F.col("spans"))).alias("l")
+    ).select("l.url", "l.url_canon", "l.host")
     blooms = build_bloom(seen, bloom_buckets) if use_bloom else None
     new_rows = _new_frontier_rows(
-        spark, raw_candidates, robots, seen, blooms, iteration
+        spark, raw_candidates, robots, seen, blooms, iteration, bloom_buckets
     )
     # the candidate pipeline (links UDF -> normalize UDF -> robots -> seen
     # filter -> dedup shuffle) feeds pending_N, seen_N and host_state_N:

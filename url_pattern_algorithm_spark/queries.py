@@ -426,6 +426,67 @@ HAVING count(DISTINCT url) = n_urls
 """
 
 
+def q_kv_most_frequent_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kv = _kv_df(spark, sf_dir)
+    m = agg.most_frequent_key(kv, min_ratio=0.5, abs_min=100)
+    return m.select("host", "key", "c", F.round("ratio", 6).alias("ratio"))
+
+
+# keys path0..path2/page all occur once per URL -> ties at c = n_urls;
+# tie-break key ASC picks 'page' ('g' < 't'), same rule both engines.
+SQL_KV_MOST_FREQUENT_KEY = KV_SQL + """
+, n AS (SELECT host, count(DISTINCT url) AS n_urls FROM kv GROUP BY host),
+counts AS (SELECT host, key, count(*) AS c FROM kv GROUP BY 1, 2),
+ranked AS (
+  SELECT host, key, c,
+         row_number() OVER (PARTITION BY host ORDER BY c DESC, key) AS rn
+  FROM counts
+)
+SELECT r.host, r.key, r.c, round(r.c * 1.0 / n.n_urls, 6) AS ratio
+FROM ranked r JOIN n ON r.host = n.host
+WHERE rn = 1 AND (r.c * 1.0 / n.n_urls > 0.5 OR r.c > 100)
+"""
+
+
+def q_pattern_sanity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """checkPattern degenerate-pattern gate (Main.java:47-69) over a
+    constructed per-host pattern table: one healthy keyed pattern, one
+    host-only stub, one too-short string."""
+    hosts = urls_raw(spark, sf_dir).select("host").distinct()
+    pats = hosts.select(
+        "host",
+        F.explode(
+            F.array(
+                F.concat(F.lit("http://"), F.col("host"),
+                         F.lit("/cat/#p$12#/.*")),
+                F.concat(F.col("host"), F.lit("/*")),
+                F.lit("x"),
+            )
+        ).alias("pattern"),
+    )
+    return pats.filter(
+        agg.pattern_sanity(F.col("pattern"), F.col("host"))
+    ).select("host", "pattern")
+
+
+SQL_PATTERN_SANITY_FILTER = URLS_SQL + """
+, hosts AS (SELECT DISTINCT host FROM urls),
+pats AS (
+  SELECT host, unnest([
+    'http://' || host || '/cat/#p$12#/.*',
+    host || '/*',
+    'x'
+  ]) AS pattern FROM hosts
+)
+SELECT host, pattern FROM pats
+WHERE length(pattern) > 5
+  AND length(pattern) > length(host) + 6
+  AND (len(string_split(pattern, '|')) > 1
+       OR len(list_filter(string_split(pattern, '#')[2:],
+                          x -> length(x) > 3)) > 0)
+"""
+
+
 def q_kv_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.distinct_values(_kv_df(spark, sf_dir), fold=True)
 
@@ -1191,6 +1252,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kv_majority_value": q_kv_majority_value,
     "kv_common_keys": q_kv_common_keys,
     "kv_distinct_values": q_kv_distinct_values,
+    "kv_most_frequent_key": q_kv_most_frequent_key,
+    "pattern_sanity_filter": q_pattern_sanity_filter,
     "pattern_match_classify": q_pattern_match_classify,
     "pattern_tree_nodes": q_pattern_tree_nodes,
     "leaf_alternations": q_leaf_alternations,
@@ -1229,6 +1292,8 @@ ORACLES: dict[str, str] = {
     "kv_majority_value": SQL_KV_MAJORITY_VALUE,
     "kv_common_keys": SQL_KV_COMMON_KEYS,
     "kv_distinct_values": SQL_KV_DISTINCT_VALUES,
+    "kv_most_frequent_key": SQL_KV_MOST_FREQUENT_KEY,
+    "pattern_sanity_filter": SQL_PATTERN_SANITY_FILTER,
     "pattern_match_classify": SQL_PATTERN_MATCH_CLASSIFY,
     "dedup_exact": SQL_DEDUP_EXACT,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
