@@ -22,7 +22,7 @@ _PATH_KEY_RE = re.compile(r"^path(\d+|\d+#\d#)$")
 
 def is_path_key(key: str) -> bool:
     """checkKeystartWithPath (CalculateUtil.java:369-382)."""
-    return _PATH_KEY_RE.match(key) is not None
+    return key.startswith("path") and _PATH_KEY_RE.match(key) is not None
 
 
 def _cmp(a: str, b: str) -> int:
@@ -41,8 +41,12 @@ def _cmp(a: str, b: str) -> int:
 
 
 def sort_keys(keys: list[str]) -> list[str]:
-    """sortList (CalculateUtil.java:386-406). Stable, like Arrays.sort."""
-    return sorted(keys, key=functools.cmp_to_key(_cmp))
+    """sortList (CalculateUtil.java:386-406). Stable, like Arrays.sort.
+
+    Key-function form of the path-first comparator: (path?0:1, key) orders
+    identically to _cmp (ASCII lexicographic == Java compareTo here) but
+    avoids 2n·log n comparator calls."""
+    return sorted(keys, key=lambda k: (0 if is_path_key(k) else 1, k))
 
 
 def check_flag(previous_key: str | None, key: str) -> int:
@@ -81,8 +85,14 @@ def canonical_url(url: str) -> str:
     """
     pairs = tokenize_light(url)
     keys = sort_keys([k for k, _ in pairs])
-    result = "http:/"
-    for i, key in enumerate(keys):
-        flag = check_flag(keys[i - 1] if i > 0 else None, key)
-        result += standard_key_value(key, first_value(pairs, key), flag)
-    return result
+    first: dict[str, str] = {}
+    for k, v in pairs:
+        if k not in first:
+            first[k] = v
+    parts = ["http:/"]
+    prev = None
+    for key in keys:
+        flag = check_flag(prev, key)
+        parts.append(standard_key_value(key, first.get(key), flag))
+        prev = key
+    return "".join(parts)

@@ -41,6 +41,8 @@ _PCT_RE = re.compile(r"%([0-9a-fA-F]{2})")
 
 def _normalize_percent(s: str) -> str:
     """Decode unreserved %XX triplets; uppercase the hex of the rest."""
+    if "%" not in s:
+        return s
 
     def repl(m: re.Match[str]) -> str:
         ch = chr(int(m.group(1), 16))
@@ -53,6 +55,8 @@ def _normalize_percent(s: str) -> str:
 
 def remove_dot_segments(path: str) -> str:
     """RFC 3986 §5.2.4 remove_dot_segments."""
+    if "." not in path:
+        return path
     out: list[str] = []
     buf = path
     while buf:
@@ -135,7 +139,8 @@ def strip_session_ids(url: str) -> str:
     ``/a;jsessionid=ABC?PHPSESSID=x&id=7`` -> ``/a?id=7``. Query-param names
     are matched case-insensitively against a fixed public list.
     """
-    url = _PATH_SESSION_RE.sub("", url)
+    if ";" in url:
+        url = _PATH_SESSION_RE.sub("", url)
     qpos = url.find("?")
     if qpos == -1:
         return url

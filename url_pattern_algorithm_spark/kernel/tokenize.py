@@ -24,24 +24,17 @@ import re
 # ^([^\d]+)(\d+)$ — letters(non-digits)+digits value form (ProcessedUrl.java:138)
 _LETTERS_DIGITS_RE = re.compile(r"^([^\d]+)(\d+)$")
 
-_FULL_DELIMS = set(":/?&.-_")  # ProcessedUrl.java:100
-_LIGHT_DELIMS = set(":/?&")  # ProcessedUrl1.java:83
+_FULL_DELIMS_RE = re.compile(r"[:/?&.\-_]+")  # ProcessedUrl.java:100
+_LIGHT_DELIMS_RE = re.compile(r"[:/?&]+")  # ProcessedUrl1.java:83
+_FULL_DELIMS = _FULL_DELIMS_RE  # back-compat aliases for callers
+_LIGHT_DELIMS = _LIGHT_DELIMS_RE
 
 
-def _split_on(s: str, delims: set[str]) -> list[str]:
-    """StringUtils.split semantics: split on any delimiter char, drop empties."""
-    out: list[str] = []
-    cur: list[str] = []
-    for ch in s:
-        if ch in delims:
-            if cur:
-                out.append("".join(cur))
-                cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        out.append("".join(cur))
-    return out
+def _split_on(s: str, delims: re.Pattern) -> list[str]:
+    """StringUtils.split semantics: split on any delimiter char, drop
+    empties. Splitting on delimiter RUNS + dropping empty edge tokens is
+    equivalent and runs in C."""
+    return [t for t in delims.split(s) if t]
 
 
 def get_host(url: str) -> str | None:
