@@ -639,7 +639,7 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_TOKEN_STATS = """
 SELECT source, count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS total_tokens,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
        round(avg(length(text)), 6) AS avg_chars
 FROM documents GROUP BY source
@@ -790,7 +790,7 @@ bits AS (
 ),
 votes AS (SELECT doc_id, b, sum(bit) AS ones, count(*) AS n FROM bits GROUP BY 1, 2)
 SELECT doc_id,
-       sum(CASE WHEN 2 * ones >= n THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN 2 * ones >= n THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """
 
@@ -906,7 +906,7 @@ dots AS (
 ),
 buckets AS (
   SELECT vec_id,
-         sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+         CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
   FROM dots GROUP BY vec_id
 )
 SELECT bucket, count(*) AS n_vecs FROM buckets GROUP BY bucket
@@ -937,7 +937,7 @@ def q_doc_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_TOKEN_BPEISH = """
 SELECT doc_id,
-       (SELECT sum(ceil(length(w) / 4.0)::BIGINT)
+       (SELECT CAST(sum(ceil(length(w) / 4.0)::BIGINT) AS BIGINT)
         FROM unnest(string_split_regex(text, '\\s+')) t(w)) AS token_count
 FROM documents
 """
