@@ -1,0 +1,57 @@
+"""Structured Streaming surface: incremental rollup == batch rollup;
+stateless candidate normalization streams."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from url_pattern_algorithm_spark.streaming.events import (
+    candidate_stream,
+    read_events_stream,
+    run_available_now,
+    windowed_rollup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_rollup_equals_batch(spark, tmp_path):
+    # file-source streams need a directory; the sf events table is one file
+    events_dir = str(tmp_path / "events")
+    spark.read.parquet(f"{SF}/events.parquet").repartition(4).write.parquet(
+        events_dir
+    )
+    stream = read_events_stream(spark, events_dir)
+    rolled = windowed_rollup(stream)
+    run_available_now(rolled, "rollup_stream", str(tmp_path / "ckpt"),
+                      output_mode="complete")
+    got = {
+        (r.hour, r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("select * from rollup_stream").collect()
+    }
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    want = {(r.hour, r.event_type): (r.n, r.sum_value) for r in batch.collect()}
+    assert got == want
+
+
+def test_candidate_stream_normalizes(spark, tmp_path):
+    src = tmp_path / "urls"
+    src.mkdir()
+    spark.createDataFrame(
+        [("HTTP://A.COM:80/x/../y?sid=s1&b=2",), ("not a url",)],
+        "url string",
+    ).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema("url string").parquet(str(src))
+    cand = candidate_stream(stream)
+    assert cand.isStreaming
+    run_available_now(cand, "cand_stream", str(tmp_path / "ckpt2"))
+    rows = spark.sql("select * from cand_stream").collect()
+    assert len(rows) == 1
+    assert rows[0].url_canon == "http://a.com/y?b=2"
+    assert rows[0].host == "a.com"

@@ -93,13 +93,15 @@ def extract_normalize_udf(spans: pd.Series) -> pd.Series:
     def one(spans_row):
         out = []
         for u in extract_links(spans_row):
-            try:
-                canon = canonical_url(rfc3986_normalize(strip_session_ids(u)))
-            except Exception:
-                canon = None
-            out.append(
-                {"url": u, "url_canon": canon, "host": get_host_lower(u)}
-            )
+            host = get_host_lower(u)
+            if host is None:
+                canon = None  # scheme-less: skip (reference host-parse rule)
+            else:
+                try:
+                    canon = canonical_url(rfc3986_normalize(strip_session_ids(u)))
+                except Exception:
+                    canon = None
+            out.append({"url": u, "url_canon": canon, "host": host})
         return out
 
     return spans.map(one)

@@ -85,10 +85,12 @@ def normalize_url_udf(urls: pd.Series) -> pd.Series:
     """The full frontier normalization chain in ONE Arrow pass:
     strip_session_ids -> rfc3986_normalize -> canonical_url.
     One UDF instead of three keeps two JVM<->Python round-trips off the hot
-    path (SURVEY.md §1.3)."""
+    path (SURVEY.md §1.3). Scheme-less/unparsable URLs yield null (the
+    reference skips URLs whose host parse fails, ProcessedUrl.java:90-96;
+    the crawl oracle does the same)."""
     return urls.map(
         lambda u: None
-        if u is None
+        if u is None or get_host(u) is None
         else canonical_url(rfc3986_normalize(strip_session_ids(u)))
     )
 
@@ -108,8 +110,12 @@ def with_url_columns(df, url_col: str = "url"):
     whole-stage codegen). host via built-in parse_url + lower — JVM-side; the
     UDF host parse is reserved for parity tests.
     """
+    # try_parse_url: ANSI-mode parse_url THROWS on malformed input — at
+    # web scale garbage candidate URLs are a certainty, so the null-safe
+    # variant is mandatory on this path
+    parse_host = getattr(F, "try_parse_url", F.parse_url)
     return (
         df.withColumn("url_canon", normalize_url_udf(F.col(url_col)))
         .withColumn("url_hash", F.xxhash64("url_canon"))
-        .withColumn("host", F.lower(F.parse_url(F.col(url_col), F.lit("HOST"))))
+        .withColumn("host", F.lower(parse_host(F.col(url_col), F.lit("HOST"))))
     )

@@ -146,7 +146,10 @@ def robots_filter(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     disallow = robots.filter(~F.col("allow")).select(
         F.col("host").alias("r_host"), F.col("prefix")
     )
-    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    # try_parse_url: ANSI parse_url throws on malformed URLs (web-scale
+    # candidate streams always contain some)
+    _parse = getattr(F, "try_parse_url", F.parse_url)
+    path = F.coalesce(_parse(F.col("url"), F.lit("PATH")), F.lit("/"))
     joined = candidates.join(
         F.broadcast(disallow),
         (F.col("host") == F.col("r_host"))

@@ -130,7 +130,7 @@ def cluster_rows_from_text(spark: SparkSession, lines: DataFrame) -> DataFrame:
     )
     return (
         tagged.filter(F.col("line") != "#")
-        .withColumn("host", F.lower(F.parse_url(F.col("line"), F.lit("HOST"))))
+        .withColumn("host", F.lower(getattr(F, "try_parse_url", F.parse_url)(F.col("line"), F.lit("HOST"))))
         .filter(F.col("host").isNotNull())
         .select("host", "cluster_id", F.col("line").alias("url"))
     )

@@ -1,0 +1,77 @@
+"""Structured Streaming surface: incremental event rollups + a streaming
+frontier-candidate feed.
+
+The reference is all-batch MapReduce and the north_rule's crawl loop is
+iterative batch over checkpoint tables (SURVEY.md §2.12) — streaming is NOT
+needed for reference parity. This module exists for the continuous-ingest
+deployments of the same pipeline: the identical DataFrame expressions run
+incrementally under ``readStream`` with watermarked event-time windows, and
+``Trigger.AvailableNow`` gives exactly-once batch-equivalent runs (verified
+against the batch rollup in tests).
+
+Scale notes: windowed aggregation state is keyed by (window, event_type) —
+bounded keys, bounded state; the watermark expires state after
+``late_threshold``. For the candidate feed, the normalize UDF chain is
+stateless, so it parallelizes identically to the batch path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from url_pattern_algorithm_spark.functions.udfs import with_url_columns
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       max_files: int = 4) -> DataFrame:
+    """File-source stream over an events parquet directory."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def windowed_rollup(events: DataFrame, window: str = "1 hour",
+                    late_threshold: str = "2 hours") -> DataFrame:
+    """Watermarked per-type event-time window rollup — the incremental twin
+    of queries.q_events_rollup (same aggregate expressions)."""
+    return (
+        events.withWatermark("ts", late_threshold)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH").alias("hour"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+def candidate_stream(urls: DataFrame) -> DataFrame:
+    """Streaming frontier-candidate normalization: url -> (url, url_canon,
+    url_hash, host). Stateless — the same with_url_columns chain as batch."""
+    return with_url_columns(urls).filter(F.col("url_canon").isNotNull())
+
+
+def run_available_now(stream_df: DataFrame, table_name: str,
+                      checkpoint_dir: str, output_mode: str = "append"):
+    """Drain everything currently available into a memory sink (test/dev) —
+    batch-equivalent exactly-once semantics. Use output_mode='complete' for
+    aggregated streams (append would withhold windows still under the
+    watermark at end-of-input)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
