@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "pattern_tree_nodes",
     "rewrite_compression",
     "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_cosine_topk",
     "doc_quality",
 ]
 
