@@ -43,3 +43,19 @@ def test_seen_filter_bloom_equals_plain(spark):
     )
     plain = set(r.url for r in seen_filter(cand, seen, None).collect())
     assert with_bloom == plain
+
+
+def test_catalog_compact_preserves_rows(spark, tmp_path):
+    from url_pattern_algorithm_spark.sources.catalog import Catalog
+    import os
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(1000).select(F.col("id"), F.xxhash64("id").alias("url_hash"))
+    cat.write_checkpoint(df.repartition(16), "seen_x", "r", 1)
+    before = sorted(r.id for r in cat.read("seen_x").collect())
+    cat.compact("seen_x", 2)
+    after = sorted(r.id for r in cat.read("seen_x").collect())
+    assert before == after
+    files = [f for f in os.listdir(tmp_path / "seen_x") if f.endswith(".parquet")]
+    assert len(files) <= 2

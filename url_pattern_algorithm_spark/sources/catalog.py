@@ -57,6 +57,24 @@ class Catalog:
                partition_by: list[str] | None = None) -> None:
         self.write(df, name, mode="append", partition_by=partition_by)
 
+    def compact(self, name: str, target_partitions: int,
+                partition_by: list[str] | None = None) -> None:
+        """Rewrite a checkpoint table into ``target_partitions`` files.
+
+        Small-file control for the append-heavy tables (SURVEY.md §7 risk
+        register): the ``seen`` table grows by a union per iteration and at
+        10^10 keys must be periodically rewritten into its bucketed layout
+        (on Iceberg this is rewrite_data_files; here a coalesced rewrite
+        through a temp name, atomic-rename semantics left to the FS)."""
+        import shutil
+
+        df = self.read(name).coalesce(target_partitions)
+        tmp = f"{name}__compact_tmp"
+        self.write(df, tmp, partition_by=partition_by)
+        final = self.path(name)
+        shutil.rmtree(final)
+        os.rename(self.path(tmp), final)
+
     def write_checkpoint(
         self,
         df: DataFrame,
