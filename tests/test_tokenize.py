@@ -18,6 +18,9 @@ def test_host_extraction():
     assert get_host("http://user@host.com/x") == "host.com"
     assert get_host("nohost") is None
     assert get_host("http://host.com") == "host.com"
+    # bracketed IPv6 literals keep their brackets (java.net.URL.getHost)
+    assert get_host("http://[::1]:8080/x") == "[::1]"
+    assert get_host("http://[2001:db8::1]/x") == "[2001:db8::1]"
 
 
 def test_full_t1_dot_split_path_key():

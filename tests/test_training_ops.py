@@ -189,3 +189,35 @@ def test_media_decode_real_path_raises(spark, spans_docs):
     m = media_spans(spans_docs)
     with pytest.raises(Exception, match="NotImplementedError|real media"):
         extract_media_features(m, decode_stub=False).collect()
+
+
+def test_token_count_bpeish_boundary_split(spark):
+    # pins the case/digit boundary semantics the DuckDB oracle mirrors
+    # (queries.SQL_DOC_TOKEN_BPEISH): camelCase and letter<->digit
+    # boundaries split words BEFORE the ceil(len/4) chunking.
+    from url_pattern_algorithm_spark.operators.textstats import token_count_bpeish
+
+    rows = [
+        # 'camelCase' -> camel|Case = 2+1; 'x123abc' -> x|123|abc = 1+1+1
+        (1, "camelCase x123abc"),
+        # no boundaries: 'alphabetagamma' -> ceil(14/4)=4; 'go' -> 1
+        (2, "alphabetagamma go"),
+        # 'HTML5' -> HTML|5 = 1+1; 'a1' -> a|1 = 1+1
+        (3, "HTML5 a1"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.token_count
+           for r in token_count_bpeish(d).select("doc_id", "token_count").collect()}
+    assert got == {1: 3 + 3, 2: 4 + 1, 3: 2 + 2}
+
+    import duckdb
+
+    from url_pattern_algorithm_spark.queries import SQL_DOC_TOKEN_BPEISH
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]),
+    )
+    oracle = {r[0]: r[1] for r in con.sql(SQL_DOC_TOKEN_BPEISH).fetchall()}
+    assert oracle == got

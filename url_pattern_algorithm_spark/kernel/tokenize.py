@@ -60,6 +60,12 @@ def get_host(url: str) -> str | None:
     at = authority.rfind("@")
     if at != -1:
         authority = authority[at + 1 :]
+    # bracketed IPv6 authority: host is '[...]' with brackets, like
+    # java.net.URL.getHost(); the ':port' (if any) follows the ']'
+    if authority.startswith("["):
+        close = authority.find("]")
+        if close != -1:
+            return authority[: close + 1]
     # strip port
     colon = authority.find(":")
     if colon != -1:

@@ -357,9 +357,15 @@ FROM du
 # ---------------------------------------------------------------------------
 
 def q_kv_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # entropy is emitted fixed-point (1e4 units, BIGINT): -sum(p*log2 p) in
+    # double is not cross-engine hash-stable at 6 dp (summation-order ulps),
+    # so the hashed value is an integer with a 100x rounding margin.
     kv = _kv_df(spark, sf_dir)
     e = agg.key_entropy(kv, fold=True)
-    return e.select("host", "key", "n_values", F.round("entropy", 6).alias("entropy"))
+    return e.select(
+        "host", "key", "n_values",
+        F.round(F.col("entropy") * 1e4).cast("long").alias("entropy_fp"),
+    )
 
 
 SQL_KV_ENTROPY = KV_SQL + """
@@ -373,7 +379,8 @@ SQL_KV_ENTROPY = KV_SQL + """
   SELECT host, key, c * 1.0 / sum(c) OVER (PARTITION BY host, key) AS p
   FROM counts
 )
-SELECT host, key, count(*) AS n_values, round(-sum(p * log2(p)), 6) AS entropy
+SELECT host, key, count(*) AS n_values,
+       CAST(round(-sum(p * log2(p)) * 10000) AS BIGINT) AS entropy_fp
 FROM withp GROUP BY host, key
 """
 
@@ -935,11 +942,25 @@ def q_doc_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count_bpeish(d).select("doc_id", "token_count")
 
 
+# The oracle mirrors token_count_bpeish's case/digit boundary split
+# (_BPE_SPLIT). DuckDB's RE2 has no lookarounds, so the boundaries are made
+# explicit by inserting spaces at each boundary class (sequential global
+# replaces are safe: the three class pairs are disjoint, so no same-regex
+# overlap is possible), then splitting on whitespace like the Spark side.
 SQL_DOC_TOKEN_BPEISH = """
+WITH b AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '([a-z])([A-Z])', '\\1 \\2', 'g'),
+             '([A-Za-z])([0-9])', '\\1 \\2', 'g'),
+           '([0-9])([A-Za-z])', '\\1 \\2', 'g') AS t
+  FROM documents
+)
 SELECT doc_id,
        (SELECT CAST(sum(ceil(length(w) / 4.0)::BIGINT) AS BIGINT)
-        FROM unnest(string_split_regex(text, '\\s+')) t(w)) AS token_count
-FROM documents
+        FROM unnest(string_split_regex(t, '\\s+')) u(w)) AS token_count
+FROM b
 """
 
 

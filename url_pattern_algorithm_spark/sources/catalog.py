@@ -70,10 +70,20 @@ class Catalog:
 
         df = self.read(name).coalesce(target_partitions)
         tmp = f"{name}__compact_tmp"
-        self.write(df, tmp, partition_by=partition_by)
+        try:
+            self.write(df, tmp, partition_by=partition_by)
+        except Exception:
+            shutil.rmtree(self.path(tmp), ignore_errors=True)
+            raise
+        # crash-safe swap: the live table is renamed aside, never deleted
+        # before the compacted copy is in place (a crash leaves either the
+        # old or the new table readable under `name`, plus a stale dir)
         final = self.path(name)
-        shutil.rmtree(final)
+        old = self.path(f"{name}__compact_old")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(final, old)
         os.rename(self.path(tmp), final)
+        shutil.rmtree(old)
 
     def write_checkpoint(
         self,
