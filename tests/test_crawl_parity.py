@@ -10,7 +10,7 @@ synthetic docs:
 import pytest
 
 from url_pattern_algorithm_spark.kernel.crawl_oracle import run_oracle_crawl
-from url_pattern_algorithm_spark.plans.crawl import run_crawl
+from url_pattern_algorithm_spark.plans.crawl import read_seen, run_crawl
 from url_pattern_algorithm_spark.sources.catalog import Catalog
 from url_pattern_algorithm_spark.sources.synthetic import (
     docs_df,
@@ -66,10 +66,45 @@ def test_seen_set_matches_oracle(crawl_run):
     cat = Catalog(spark, ckpt)
     got = {
         (r["url_hash"], r["first_iter"])
-        for r in cat.read(f"seen_{ITERS}").select("url_hash", "first_iter").collect()
+        for r in read_seen(cat, ITERS).select("url_hash", "first_iter").collect()
     }
     want = set(oracle.seen.items())
     assert got == want
+    # append-only layout: one epoch partition dir per iteration, url rows
+    # written exactly once (delta writes, not snapshot rewrites)
+    assert cat.read("seen").count() == len(want)
+
+
+def test_seen_as_of_prunes_future_iterations(crawl_run):
+    spark, ckpt, _, oracle, *_ = crawl_run
+    cat = Catalog(spark, ckpt)
+    upto1 = {r["url_hash"] for r in read_seen(cat, 1).collect()}
+    want1 = {h for h, it in oracle.seen.items() if it <= 1}
+    assert upto1 == want1
+
+
+def test_compaction_preserves_seen_set(crawl_run, tmp_path):
+    spark, ckpt, counts, oracle, docs, seeds, robots = crawl_run
+    ckpt2 = str(tmp_path / "compacted")
+    counts2 = run_crawl(
+        spark, docs, seeds, robots, ckpt2, N_DOCS, iterations=ITERS,
+        compact_every=2,
+    )
+    assert counts2 == counts
+    cat = Catalog(spark, ckpt2)
+    got = {
+        (r["url_hash"], r["first_iter"])
+        for r in read_seen(cat, ITERS).select("url_hash", "first_iter").collect()
+    }
+    assert got == set(oracle.seen.items())
+    # epochs 0..2 collapsed into epoch=-1; epoch=3 still a delta
+    epochs = {r["epoch"] for r in cat.read("seen").select("epoch").distinct().collect()}
+    assert epochs == {-1, ITERS}
+    # scheduled batches identical to the uncompacted run
+    for it in range(1, ITERS + 1):
+        assert _spark_scheduled(spark, ckpt2, it) == _spark_scheduled(
+            spark, ckpt, it
+        )
 
 
 def test_resume_from_checkpoint(crawl_run, tmp_path):
@@ -111,3 +146,20 @@ def test_lineage_metrics(crawl_run):
     # per-partition lineage columns present on checkpoints
     cols = set(cat.read("scheduled_1").columns)
     assert {"run_id", "iteration", "partition_id"} <= cols
+
+
+def test_resume_before_compaction_watermark_refused(crawl_run, tmp_path):
+    # compaction expires earlier resume points (Iceberg snapshot expiry);
+    # a stale resume must be refused, a resume at/after the watermark works
+    import pytest as _pytest
+
+    spark, ckpt, counts, oracle, docs, seeds, robots = crawl_run
+    ckpt2 = str(tmp_path / "wm")
+    run_crawl(spark, docs, seeds, robots, ckpt2, N_DOCS, iterations=ITERS,
+              compact_every=2)
+    with _pytest.raises(ValueError, match="compaction watermark"):
+        run_crawl(spark, docs, seeds, robots, ckpt2, N_DOCS,
+                  iterations=ITERS, resume_from=1, run_id="stale")
+    counts2 = run_crawl(spark, docs, seeds, robots, ckpt2, N_DOCS,
+                        iterations=ITERS, resume_from=2, run_id="ok")
+    assert counts2[ITERS] == counts[ITERS]

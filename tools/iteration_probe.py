@@ -1,0 +1,92 @@
+"""Per-iteration wall-time flatness probe (VERDICT r1 fix #1 done-criterion).
+
+The r1 crawl loop rewrote the FULL `seen` snapshot every iteration, so
+per-iteration cost grew linearly with crawl age (quadratic cumulative I/O).
+The r2 design appends only the iteration's delta and OR-merges fixed-size
+Bloom bitmaps, so per-iteration wall time must stay FLAT while the seen set
+grows. This probe runs >= 6 iterations at a steady per-iteration batch size
+(budget-bounded scheduling keeps the scheduled count constant) and records
+each iteration's wall time + the cumulative seen size.
+
+Usage: python tools/iteration_probe.py [iterations] -> BENCH/iteration_times.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import bench_seeds  # noqa: E402
+from url_pattern_algorithm_spark.plans.crawl import (  # noqa: E402
+    Politeness,
+    init_state,
+    read_seen,
+    run_iteration,
+)
+from url_pattern_algorithm_spark.session import get_spark  # noqa: E402
+from url_pattern_algorithm_spark.sources.catalog import Catalog  # noqa: E402
+from url_pattern_algorithm_spark.sources.synthetic import (  # noqa: E402
+    docs_df,
+    robots_df,
+)
+
+N_DOCS, N_HOSTS, SEEDS_PER_HOST, BUDGET = 100_000, 64, 3000, 512.0
+BLOOM_M = 1 << 20
+
+
+def main() -> None:
+    iterations = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    spark = get_spark("iterprobe", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = docs_df(spark, N_DOCS, N_HOSTS).persist()
+    docs.count()
+    from pyspark.sql import functions as F
+
+    docs_idx = docs.withColumn(
+        "doc_index", F.col("doc_id").substr(F.lit(4), F.lit(10)).cast("long")
+    )
+    seeds = bench_seeds(spark, N_HOSTS, SEEDS_PER_HOST)
+    robots = robots_df(spark, N_HOSTS)
+    pol = Politeness(BUDGET, BUDGET, BUDGET)
+    root = tempfile.mkdtemp(prefix="iterprobe_")
+    cat = Catalog(spark, root)
+    init_state(spark, seeds, robots, cat, "probe", pol,
+               bloom_m_bits=BLOOM_M)
+    iters = []
+    for it in range(1, iterations + 1):
+        t0 = time.time()
+        n = run_iteration(spark, docs_idx, robots, cat, "probe", it, N_DOCS,
+                          bloom_m_bits=BLOOM_M, pol=pol)
+        dt = time.time() - t0
+        seen_n = read_seen(cat, it).count()
+        iters.append({"iteration": it, "scheduled": n,
+                      "sec": round(dt, 2), "seen_total": seen_n})
+        print(f"iter {it}: {n} scheduled, {dt:.2f}s, seen={seen_n}",
+              file=sys.stderr)
+    shutil.rmtree(root, ignore_errors=True)
+    first, last = iters[0]["sec"], iters[-1]["sec"]
+    mid = sorted(i["sec"] for i in iters)[len(iters) // 2]
+    out = {
+        "config": {"n_docs": N_DOCS, "n_hosts": N_HOSTS,
+                   "seeds": N_HOSTS * SEEDS_PER_HOST, "budget": BUDGET,
+                   "bloom_m_bits": BLOOM_M, "master": "local[32]"},
+        "iterations": iters,
+        "last_over_median": round(last / mid, 3),
+        "flat": last <= 1.5 * mid,
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH", "iteration_times.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -34,7 +34,8 @@ BLOOM_HASHES = 7
 
 
 def build_bloom(seen: DataFrame, n_buckets: int = 64,
-                bits_per_key: int = BLOOM_BITS_PER_KEY) -> DataFrame:
+                bits_per_key: int = BLOOM_BITS_PER_KEY,
+                m_bits: int | None = None) -> DataFrame:
     """Build per-bucket Bloom bitmaps over ``seen.url_hash``.
 
     bucket = url_hash & (n_buckets-1). Each bucket's bitmap is built inside
@@ -42,12 +43,21 @@ def build_bloom(seen: DataFrame, n_buckets: int = 64,
     collected on the driver, and bitmap size scales with the bucket's key
     count, so at 10^10 keys each of e.g. 4096 buckets holds ~2.4M keys -> 3MB
     bitmaps (fits an executor easily). Returns (bucket, m_bits, bitmap).
+
+    ``m_bits`` fixes every bucket's bitmap size instead of sizing it from
+    the bucket's key count — required for the *incremental* maintenance mode
+    (:func:`or_blooms`): bitmaps built from per-iteration deltas can only be
+    OR-merged when all share one m. Size m for the run's expected keys per
+    bucket (~10 bits/key for ~1% fp).
     """
 
     def make(pdf: pd.DataFrame) -> pd.DataFrame:
         hashes = pdf["url_hash"].to_numpy(dtype=np.int64).astype(np.uint64)
         n = max(len(hashes), 1)
-        m = 1 << int(np.ceil(np.log2(max(n * bits_per_key, 64))))
+        if m_bits is not None:
+            m = m_bits
+        else:
+            m = 1 << int(np.ceil(np.log2(max(n * bits_per_key, 64))))
         bits = np.zeros(m // 8, dtype=np.uint8)
         h1 = hashes
         h2 = (hashes >> np.uint64(17)) | (hashes << np.uint64(47))
@@ -65,6 +75,39 @@ def build_bloom(seen: DataFrame, n_buckets: int = 64,
     )
     return seen_b.groupBy("bucket").applyInPandas(
         make, "bucket int, m_bits long, bitmap binary"
+    )
+
+
+def or_blooms(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """OR per-bucket Bloom bitmaps: state' = state | delta.
+
+    The incremental-maintenance step of the crawl loop: instead of
+    rebuilding every bitmap from the FULL seen table each iteration
+    (O(seen keys)), the new iteration's delta bitmaps (O(delta keys)) are
+    OR-merged into the stored bitmap table (O(total bitmap bytes) — ~10
+    *bits* per seen key, two orders of magnitude below rewriting seen
+    rows). Requires fixed ``m_bits`` across both inputs per bucket.
+    """
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = int(pdf["m_bits"].iloc[0])
+        if not (pdf["m_bits"] == m).all():
+            raise ValueError(
+                "or_blooms requires fixed m_bits per bucket; build deltas "
+                "with build_bloom(..., m_bits=M)"
+            )
+        out = np.frombuffer(pdf["bitmap"].iloc[0], dtype=np.uint8).copy()
+        for b in pdf["bitmap"].iloc[1:]:
+            out |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame(
+            {"bucket": [int(pdf["bucket"].iloc[0])], "m_bits": [m],
+             "bitmap": [out.tobytes()]}
+        )
+
+    cols = ["bucket", "m_bits", "bitmap"]
+    both = state.select(*cols).unionByName(delta.select(*cols))
+    return both.groupBy("bucket").applyInPandas(
+        merge, "bucket int, m_bits long, bitmap binary"
     )
 
 

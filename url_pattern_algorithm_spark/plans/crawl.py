@@ -8,12 +8,26 @@ One iteration (all DataFrame ops, nothing frontier-scale on the driver):
          -> Bloom + anti-join seen filter                  = new frontier rows
     state' = (pending - scheduled + new, seen + new, token buckets debited)
 
-State tables are snapshot per iteration through the Catalog (Iceberg-shaped;
-parquet here) with lineage stamps, so a run can resume from ANY iteration
-(``resume``) and reproduce the uninterrupted run exactly — the F6 parity
-property. At 10^10-URL scale the `seen` snapshot-per-iteration becomes an
-append-only bucket-partitioned table + periodic compaction; the interface
-here already isolates that policy inside Catalog.
+State-table I/O is sized for a 10^10-key frontier:
+
+- ``seen`` is ONE append-only table partitioned by ``(epoch, bucket)``:
+  every iteration writes ONLY its delta (dynamic partition overwrite of
+  ``epoch=i`` — idempotent on re-run, so resume never duplicates), and
+  ``read_seen(cat, k)`` reconstructs the set as of any iteration by
+  epoch-pruned read. Per-iteration write volume is O(delta), not O(seen) —
+  the previous snapshot-per-iteration design wrote the full seen table every
+  iteration (quadratic cumulative I/O over a long crawl).
+- Bloom bitmaps are maintained INCREMENTALLY: ``bloom_i = bloom_{i-1} |
+  build_bloom(delta)`` (operators.frontier.or_blooms) at fixed per-bucket
+  size ``bloom_m_bits``. Maintenance cost is O(delta keys + bitmap bytes);
+  bitmap bytes are ~10 *bits* per seen key.
+- ``compact_seen`` collapses old epochs into the single ``epoch=-1``
+  partition on a cadence (``compact_every``), bounding file counts exactly
+  like Iceberg's rewrite_data_files; ``first_iter`` is a data column, so
+  compaction never loses lineage.
+- ``pending``/``host_state`` stay per-iteration snapshots (they are the
+  live working set, not an accumulating log); pending is written
+  partitioned by a host-hash bucket for pruned per-host reads.
 
 The 'web' is simulated deterministically: fetching a URL returns the synthetic
 doc with index splitmix(url_hash) — same function in the pure-python oracle
@@ -32,6 +46,7 @@ from url_pattern_algorithm_spark.functions.links import extract_normalize_udf
 from url_pattern_algorithm_spark.functions.udfs import with_url_columns
 from url_pattern_algorithm_spark.operators.frontier import (
     build_bloom,
+    or_blooms,
     politeness_budgets,
     robots_filter,
     schedule_top_k,
@@ -43,6 +58,9 @@ from url_pattern_algorithm_spark.sources.synthetic import _mix
 TOKENS_INIT = 2.0
 TOKENS_CAP = 4.0
 REFILL = 1.0
+
+BLOOM_M_BITS = 1 << 17  # fixed per-bucket bitmap bits (incremental OR mode)
+PENDING_HBUCKETS = 16  # host-hash partition count for pending snapshots
 
 
 class Politeness:
@@ -59,6 +77,7 @@ class Politeness:
 DEFAULT_POLITENESS = Politeness()
 
 PENDING_COLS = ["url", "url_canon", "url_hash", "host", "priority", "discovered_iter"]
+SEEN_COLS = ["url_hash", "url_canon", "first_iter"]
 
 
 def fetch_doc_index_udf(n_docs: int):
@@ -69,6 +88,89 @@ def fetch_doc_index_udf(n_docs: int):
             yield s.map(lambda h: _mix(13, int(h) & ((1 << 64) - 1)) % n_docs)
 
     return F.pandas_udf(fn, "long")
+
+
+# ---------------------------------------------------------------------------
+# seen-table management (append-only deltas + epoch compaction)
+# ---------------------------------------------------------------------------
+
+
+def read_seen(cat: Catalog, upto: int) -> DataFrame:
+    """Seen set as of iteration ``upto`` from the append-only table.
+
+    ``epoch <= upto`` prunes future-iteration partition dirs at plan time
+    (compacted history lives in epoch=-1, always included); the row-level
+    ``first_iter <= upto`` makes the as-of exact after compaction merges
+    epochs."""
+    s = cat.read("seen")
+    return s.filter((F.col("epoch") <= upto) & (F.col("first_iter") <= upto))
+
+
+def _write_seen_delta(cat: Catalog, rows: DataFrame, run_id: str,
+                      iteration: int, n_buckets: int) -> int:
+    """Append one iteration's delta: dynamic overwrite of ``epoch=i`` only.
+
+    The delta is repartitioned by bucket first so each (epoch, bucket)
+    partition gets exactly one file per iteration."""
+    delta = rows.select(
+        "url_hash", "url_canon",
+        F.lit(iteration).alias("first_iter"),
+        F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        F.lit(iteration).alias("epoch"),
+    ).repartition(n_buckets, "bucket")
+    return cat.write_checkpoint(
+        delta, "seen", run_id, iteration,
+        partition_by=["epoch", "bucket"], dynamic=True,
+    )
+
+
+def compact_seen(cat: Catalog, upto: int, n_buckets: int = 64) -> None:
+    """Collapse seen epochs <= ``upto`` into the ``epoch=-1`` partition
+    (file-count control for the append-heavy table; Iceberg's
+    rewrite_data_files analogue, crash-safe via Catalog.rewrite).
+
+    Like Iceberg snapshot expiry, compacting THROUGH iteration ``upto``
+    expires resume points before it: re-running an already-compacted
+    iteration would duplicate its rows (epoch=-1 + the re-written epoch).
+    A watermark row records the boundary; run_crawl refuses stale resumes.
+    Reading as-of any iteration stays exact (first_iter row filter)."""
+
+    def collapse(df: DataFrame) -> DataFrame:
+        merged = df.withColumn(
+            "epoch",
+            F.when(F.col("epoch") <= upto, F.lit(-1)).otherwise(F.col("epoch")),
+        )
+        return merged.repartition(n_buckets, "bucket")
+
+    cat.rewrite("seen", collapse, partition_by=["epoch", "bucket"])
+    wm = cat.spark.createDataFrame([(upto,)], "upto int")
+    cat.append(wm, "_compaction")
+
+
+def compaction_watermark(cat: Catalog) -> int:
+    """Latest compacted-through iteration (-1 if never compacted)."""
+    if not cat.exists("_compaction"):
+        return -1
+    row = cat.read("_compaction").agg(F.max("upto").alias("m")).collect()[0]
+    return int(row["m"]) if row["m"] is not None else -1
+
+
+def _read_blooms(cat: Catalog, iteration: int, n_buckets: int,
+                 m_bits: int) -> DataFrame:
+    """Bloom state as of ``iteration``: the stored snapshot when present,
+    else rebuilt once from the seen table (e.g. resuming a run that was
+    started with use_bloom=False)."""
+    name = f"bloom_{iteration}"
+    if cat.exists(name):
+        return cat.read(name).select("bucket", "m_bits", "bitmap")
+    return build_bloom(read_seen(cat, iteration), n_buckets, m_bits=m_bits)
+
+
+def _with_hbucket(pending: DataFrame) -> DataFrame:
+    return pending.withColumn(
+        "hbucket",
+        F.pmod(F.xxhash64("host"), F.lit(PENDING_HBUCKETS)).cast("int"),
+    )
 
 
 def _new_frontier_rows(
@@ -115,8 +217,11 @@ def init_state(
     cat: Catalog,
     run_id: str,
     pol: Politeness = DEFAULT_POLITENESS,
+    use_bloom: bool = True,
+    bloom_buckets: int = 64,
+    bloom_m_bits: int = BLOOM_M_BITS,
 ) -> None:
-    """Iteration 0: seed list -> pending/seen/host_state snapshots."""
+    """Iteration 0: seed list -> pending snapshot + seen delta + bloom_0."""
     cand = with_url_columns(seeds).filter(F.col("url_canon").isNotNull())
     cand = robots_filter(cand, robots)
     pending = cand.groupBy("url_hash").agg(
@@ -127,9 +232,16 @@ def init_state(
     ).select(*PENDING_COLS[:5], F.lit(0).alias("discovered_iter"))
     # one UDF pass: pending feeds three checkpoint writes
     pending = pending.persist()
-    cat.write_checkpoint(pending, "pending_0", run_id, 0)
-    seen = pending.select("url_hash", "url_canon", F.lit(0).alias("first_iter"))
-    cat.write_checkpoint(seen, "seen_0", run_id, 0)
+    cat.write_checkpoint(
+        _with_hbucket(pending), "pending_0", run_id, 0,
+        partition_by=["hbucket"],
+    )
+    _write_seen_delta(cat, pending, run_id, 0, bloom_buckets)
+    if use_bloom:
+        bloom0 = build_bloom(
+            pending.select("url_hash"), bloom_buckets, m_bits=bloom_m_bits
+        )
+        cat.write_checkpoint(bloom0, "bloom_0", run_id, 0)
     host_state = pending.select("host").distinct().select(
         "host",
         F.lit(pol.tokens_init).alias("tokens"),
@@ -152,13 +264,14 @@ def run_iteration(
     salts: int = 16,
     use_bloom: bool = True,
     bloom_buckets: int = 64,
+    bloom_m_bits: int = BLOOM_M_BITS,
     pol: Politeness = DEFAULT_POLITENESS,
 ) -> int:
-    """Advance one iteration from snapshot ``iteration-1``; returns the
+    """Advance one iteration from state as of ``iteration-1``; returns the
     number of scheduled URLs."""
     prev = iteration - 1
     pending = cat.read(f"pending_{prev}").select(*PENDING_COLS)
-    seen = cat.read(f"seen_{prev}").select("url_hash", "url_canon", "first_iter")
+    seen = read_seen(cat, prev).select("url_hash")
     host_state = cat.read(f"host_state_{prev}").select(
         "host", "tokens", "last_iter", "crawl_delay"
     )
@@ -198,27 +311,37 @@ def run_iteration(
     raw_candidates = pages.select(
         F.explode(extract_normalize_udf(F.col("spans"))).alias("l")
     ).select("l.url", "l.url_canon", "l.host")
-    blooms = build_bloom(seen, bloom_buckets) if use_bloom else None
+    blooms = (
+        _read_blooms(cat, prev, bloom_buckets, bloom_m_bits)
+        if use_bloom
+        else None
+    )
     new_rows = _new_frontier_rows(
         spark, raw_candidates, robots, seen, blooms, iteration, bloom_buckets
     )
     # the candidate pipeline (links UDF -> normalize UDF -> robots -> seen
-    # filter -> dedup shuffle) feeds pending_N, seen_N and host_state_N:
-    # persist so it runs once, not three times
+    # filter -> dedup shuffle) feeds pending_N, the seen delta, bloom_N and
+    # host_state_N: persist so it runs once, not four times
     new_rows = new_rows.persist()
 
-    # 4. next snapshots
+    # 4. next state: pending/host_state snapshots + seen/bloom DELTAS only
     remaining = pending.join(
         scheduled.select("url_hash"), "url_hash", "left_anti"
     ).select(*PENDING_COLS)
     next_pending = remaining.unionByName(new_rows.select(*PENDING_COLS))
-    cat.write_checkpoint(next_pending, f"pending_{iteration}", run_id, iteration)
-    next_seen = seen.unionByName(
-        new_rows.select(
-            "url_hash", "url_canon", F.lit(iteration).alias("first_iter")
-        )
+    cat.write_checkpoint(
+        _with_hbucket(next_pending), f"pending_{iteration}", run_id, iteration,
+        partition_by=["hbucket"],
     )
-    cat.write_checkpoint(next_seen, f"seen_{iteration}", run_id, iteration)
+    _write_seen_delta(cat, new_rows, run_id, iteration, bloom_buckets)
+    if use_bloom:
+        delta_bloom = build_bloom(
+            new_rows.select("url_hash"), bloom_buckets, m_bits=bloom_m_bits
+        )
+        cat.write_checkpoint(
+            or_blooms(blooms, delta_bloom), f"bloom_{iteration}",
+            run_id, iteration,
+        )
     new_hosts = (
         new_rows.select("host").distinct()
         .join(new_host_state.select("host"), "host", "left_anti")
@@ -254,12 +377,17 @@ def run_crawl(
     resume_from: int | None = None,
     salts: int = 16,
     use_bloom: bool = True,
+    bloom_buckets: int = 64,
+    bloom_m_bits: int = BLOOM_M_BITS,
+    compact_every: int = 0,
     pol: Politeness = DEFAULT_POLITENESS,
 ) -> dict[int, int]:
     """Run (or resume) the crawl; returns {iteration: n_scheduled}.
 
-    ``resume_from=k`` skips init and iterations <= k, reading snapshot k —
-    byte-identical continuation (F6 resume test).
+    ``resume_from=k`` skips init and iterations <= k, reading state as of k —
+    byte-identical continuation (F6 resume test; the seen delta write is
+    idempotent, so a re-run of iteration k+1 overwrites exactly its own
+    epoch). ``compact_every=K`` collapses seen epochs every K iterations.
     """
     cat = Catalog(spark, ckpt_root)
     if "doc_index" not in docs.columns:
@@ -270,12 +398,23 @@ def run_crawl(
     counts: dict[int, int] = {}
     start = 1
     if resume_from is None:
-        init_state(spark, seeds, robots, cat, run_id, pol)
+        init_state(spark, seeds, robots, cat, run_id, pol,
+                   use_bloom=use_bloom, bloom_buckets=bloom_buckets,
+                   bloom_m_bits=bloom_m_bits)
     else:
+        wm = compaction_watermark(cat)
+        if resume_from < wm:
+            raise ValueError(
+                f"resume_from={resume_from} predates the compaction "
+                f"watermark {wm}: compacted iterations cannot be re-run "
+                f"(Iceberg snapshot-expiry semantics); resume from >= {wm}"
+            )
         start = resume_from + 1
     for it in range(start, iterations + 1):
         counts[it] = run_iteration(
             spark, docs, robots, cat, run_id, it, n_docs, salts, use_bloom,
-            pol=pol,
+            bloom_buckets=bloom_buckets, bloom_m_bits=bloom_m_bits, pol=pol,
         )
+        if compact_every and it % compact_every == 0:
+            compact_seen(cat, it, bloom_buckets)
     return counts

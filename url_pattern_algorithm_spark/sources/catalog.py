@@ -47,43 +47,58 @@ class Catalog:
         name: str,
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
+        dynamic: bool = False,
     ) -> None:
+        """``dynamic=True`` + mode='overwrite' replaces only the partitions
+        present in ``df`` (Iceberg's overwrite-by-filter semantics) — the
+        idempotent-append write the ``seen`` delta table uses. Snapshot
+        tables must NOT use it (a re-run with fewer partitions would leave
+        stale ones behind)."""
         w = df.write.format(_FORMAT).mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
+        if dynamic:
+            w = w.option("partitionOverwriteMode", "dynamic")
         w.save(self.path(name))
 
     def append(self, df: DataFrame, name: str,
                partition_by: list[str] | None = None) -> None:
         self.write(df, name, mode="append", partition_by=partition_by)
 
-    def compact(self, name: str, target_partitions: int,
+    def rewrite(self, name: str, transform,
                 partition_by: list[str] | None = None) -> None:
-        """Rewrite a checkpoint table into ``target_partitions`` files.
-
-        Small-file control for the append-heavy tables (SURVEY.md §7 risk
-        register): the ``seen`` table grows by a union per iteration and at
-        10^10 keys must be periodically rewritten into its bucketed layout
-        (on Iceberg this is rewrite_data_files; here a coalesced rewrite
-        through a temp name, atomic-rename semantics left to the FS)."""
+        """Atomically rewrite a table as ``transform(read(name))`` through a
+        temp dir + rename-aside swap (Iceberg's rewrite_data_files shape).
+        Crash-safe: the live table is renamed aside, never deleted before the
+        rewritten copy is in place — a crash leaves either the old or the new
+        table readable under ``name`` (plus at worst a stale side dir)."""
         import shutil
 
-        df = self.read(name).coalesce(target_partitions)
+        df = transform(self.read(name))
         tmp = f"{name}__compact_tmp"
         try:
             self.write(df, tmp, partition_by=partition_by)
         except Exception:
             shutil.rmtree(self.path(tmp), ignore_errors=True)
             raise
-        # crash-safe swap: the live table is renamed aside, never deleted
-        # before the compacted copy is in place (a crash leaves either the
-        # old or the new table readable under `name`, plus a stale dir)
         final = self.path(name)
         old = self.path(f"{name}__compact_old")
         shutil.rmtree(old, ignore_errors=True)
         os.rename(final, old)
         os.rename(self.path(tmp), final)
         shutil.rmtree(old)
+
+    def compact(self, name: str, target_partitions: int,
+                partition_by: list[str] | None = None) -> None:
+        """Rewrite a checkpoint table into ``target_partitions`` files.
+
+        Small-file control for the append-heavy tables (SURVEY.md §7 risk
+        register): the ``seen`` table grows by a delta write per iteration
+        and at 10^10 keys must be periodically rewritten into its bucketed
+        layout (on Iceberg this is rewrite_data_files)."""
+        self.rewrite(
+            name, lambda df: df.coalesce(target_partitions), partition_by
+        )
 
     def write_checkpoint(
         self,
@@ -92,6 +107,7 @@ class Catalog:
         run_id: str,
         iteration: int,
         partition_by: list[str] | None = None,
+        dynamic: bool = False,
     ) -> int:
         """Write a lineage-stamped checkpoint table; returns row count.
 
@@ -109,7 +125,7 @@ class Catalog:
             .withColumn("partition_id", F.spark_partition_id())
             .observe(obs, F.count(F.lit(1)).alias("rows"))
         )
-        self.write(stamped, name, partition_by=partition_by)
+        self.write(stamped, name, partition_by=partition_by, dynamic=dynamic)
         n = int(obs.get["rows"])
         self._metrics_buf.append((run_id, iteration, name, n))
         return n
