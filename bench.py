@@ -32,11 +32,13 @@ BENCH_QUERIES = [
     "url_seen_antijoin",
     "kv_entropy",
     "pattern_tree_nodes",
+    "theme_page_classify",
     "rewrite_compression",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_multiprobe",
     "doc_quality",
 ]
 
@@ -90,10 +92,14 @@ def run_crawl_bench(spark, sf_dir: str, iterations: int = 3):
     from url_pattern_algorithm_spark.plans.crawl import Politeness, run_crawl
     from url_pattern_algorithm_spark.sources.synthetic import docs_df, robots_df
 
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
-    n_hosts = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "32"))
-    per_host = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "300"))
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "256"))
+    # compute-dominated config (r2): batch sizes where per-core work beats
+    # the ~15-stage/iteration fixed latency, so r-over-r comparisons track
+    # engine changes, not driver overhead; compaction + the fixed-m
+    # incremental Bloom path run exactly as a long crawl would use them
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+    n_hosts = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "64"))
+    per_host = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "1500"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1024"))
     docs = docs_df(spark, n_docs, n_hosts).persist()
     docs.count()
     seeds = bench_seeds(spark, n_hosts, per_host)
@@ -104,6 +110,7 @@ def run_crawl_bench(spark, sf_dir: str, iterations: int = 3):
     counts = run_crawl(
         spark, docs, seeds, robots, root, n_docs=n_docs,
         iterations=iterations, run_id="bench", pol=pol,
+        bloom_m_bits=1 << 20, compact_every=2,
     )
     dt = time.time() - t0
     docs.unpersist()

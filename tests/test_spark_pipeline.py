@@ -206,3 +206,43 @@ def test_sampling_ops(spark, urls_df):
     split = train_test_split(urls_df)
     frac = split.agg(F.avg(F.col("is_train").cast("double"))).collect()[0][0]
     assert 0.70 < frac < 0.80
+
+
+def test_side_input_collect_guards(spark):
+    # web-scale guard: the setup()-style side-input collects in
+    # classify_structural / apply_rules are scoped to hosts present in the
+    # batch and refuse to materialize past max_side_rows on the driver.
+    from pyspark.sql import functions as F
+
+    from url_pattern_algorithm_spark.operators.classify import classify_structural
+    from url_pattern_algorithm_spark.operators.rewrite import apply_rules
+
+    nodes = spark.createDataFrame(
+        [("h1.com", 1, "path0:h1.com/", True), ("h2.com", 2, "path0:h2.com/", True),
+         ("h3.com", 3, "path0:h3.com/", True)],
+        "host string, node_id int, pattern string, is_leaf boolean",
+    )
+    pages = spark.createDataFrame(
+        [("h1.com", "http://h1.com/a")], "host string, url string"
+    )
+    # host scoping: only h1's single leaf is collected -> bound of 1 passes
+    out = classify_structural(spark, pages, nodes, max_side_rows=1)
+    assert out.count() == 1
+    import pytest as _pytest
+
+    all_pages = spark.createDataFrame(
+        [(f"h{i}.com", f"http://h{i}.com/a") for i in (1, 2, 3)],
+        "host string, url string",
+    )
+    with _pytest.raises(ValueError, match="side input exceeds"):
+        classify_structural(spark, all_pages, nodes, max_side_rows=1)
+
+    rules = spark.createDataFrame(
+        [("h1.com", 0, "path0:.*/", "path0:#x/"),
+         ("h2.com", 0, "path0:.*/", "path0:#x/")],
+        "host string, rule_id int, pattern string, rule string",
+    )
+    urls1 = pages
+    assert apply_rules(spark, urls1, rules, max_side_rows=1).count() == 1
+    with _pytest.raises(ValueError, match="side input exceeds"):
+        apply_rules(spark, all_pages, rules, max_side_rows=1).count()

@@ -221,3 +221,22 @@ def test_token_count_bpeish_boundary_split(spark):
     )
     oracle = {r[0]: r[1] for r in con.sql(SQL_DOC_TOKEN_BPEISH).fetchall()}
     assert oracle == got
+
+
+def test_ann_multitable_multiprobe_recall(spark):
+    # OR-construction + Hamming-1 probing reaches high recall where a single
+    # 8-plane table is geometry-limited (VERDICT r1 refinement): recall@10
+    # >= 0.9 vs exact cosine on the sf0.001 embeddings corpus.
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, qs, k=10).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_bucketed_topk(
+            emb, qs, k=10, n_planes=4, n_tables=8, multiprobe=True
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.9

@@ -164,3 +164,29 @@ def test_escape_star_applies_charwise():
     # escape (Main.java:270-277) turns it into '..*'
     assert escape_star("/h1.com/.*") == "/h1.com/..*"
     assert escape_star("a:*/") == "a:.*/"
+
+
+def test_flatten_nodes_leaf_example_urls_cap():
+    # PatternJob.java:322-329: <=300 example URLs per LEAF in list order;
+    # non-leaves carry none. Cap exercised with example_cap=5.
+    from url_pattern_algorithm_spark.kernel.tree import flatten_nodes
+
+    urls = parse_all(
+        [f"http://h.com/{w}/{i}" for w in WORDS[:3] for i in range(40)]
+    )
+    b = TreeBuilder()
+    b.build(urls)
+    rows = flatten_nodes(b, example_cap=5)
+    leaves = [r for r in rows if r["is_leaf"]]
+    inner = [r for r in rows if not r["is_leaf"]]
+    assert leaves and inner
+    for r in inner:
+        assert r["example_urls"] == []
+    for r in leaves:
+        assert 1 <= len(r["example_urls"]) <= 5
+        assert len(r["example_urls"]) == min(5, r["url_count"])
+    # list order = the node's url list order (first urls win the cap)
+    full = flatten_nodes(b, example_cap=300)
+    by_id = {r["node_id"]: r for r in full}
+    for r in leaves:
+        assert r["example_urls"] == by_id[r["node_id"]]["example_urls"][:5]

@@ -121,8 +121,8 @@ def identify_duplicate_nodes(
                 rate = overlap_rate(cluster, n1, n2)
                 if rate < 0.5:
                     continue
-                kn1 = len(all_keys([u.pairs for u in n1.urls]))
-                kn2 = len(all_keys([u.pairs for u in n2.urls]))
+                kn1 = len(_node_keys(n1))
+                kn2 = len(_node_keys(n2))
                 if kn1 < kn2:
                     pairs.append((n1, n2, rate))
                 elif kn1 > kn2:
@@ -134,13 +134,34 @@ def identify_duplicate_nodes(
     return pairs
 
 
+def _node_keys(node: TreeNode) -> list[str]:
+    """all_keys of a node's URLs, memoized on the node (pure function of the
+    node's frozen url list; the same node participates in many candidate
+    pairs, so recomputation dominated rule-learning cost)."""
+    cache = node.__dict__.get("_keys_cache")
+    if cache is None:
+        cache = all_keys([u.pairs for u in node.urls])
+        node.__dict__["_keys_cache"] = cache
+    return cache
+
+
+def _node_distinct_folded(node: TreeNode, key: str) -> list[str]:
+    """distinct_values_folded per (node, key), memoized on the node — same
+    math as TreeNode.getValuesInTheKey, computed once instead of once per
+    (key1, key2) combo per candidate pair."""
+    cache = node.__dict__.setdefault("_dv_cache", {})
+    if key not in cache:
+        cache[key] = distinct_values_folded(key, [u.pairs for u in node.urls])
+    return cache[key]
+
+
 def rate_of_common_values(
     node1: TreeNode, node2: TreeNode, key1: str, key2: str
 ) -> float:
     """rateOfCommonValues (TreeNode.java:805-818): |shared distinct folded
     values| over (|urls1| + |urls2| - shared)."""
-    v1 = distinct_values_folded(key1, [u.pairs for u in node1.urls])
-    v2 = set(distinct_values_folded(key2, [u.pairs for u in node2.urls]))
+    v1 = _node_distinct_folded(node1, key1)
+    v2 = set(_node_distinct_folded(node2, key2))
     shared = sum(1 for v in v1 if v in v2)
     return shared / (len(node1.urls) + len(node2.urls) - shared)
 
@@ -149,8 +170,8 @@ def find_key_mapping(s: TreeNode, t: TreeNode) -> list[tuple[str, str]]:
     """findKeyToKeyMapping (TreeNode.java:821-839): per key2 in t, the key1 in
     s maximizing shared-value rate (>= comparison: the last max wins, over
     deterministic first-appearance key order); kept if rate >= 0.5."""
-    keys1 = all_keys([u.pairs for u in s.urls])
-    keys2 = all_keys([u.pairs for u in t.urls])
+    keys1 = _node_keys(s)
+    keys2 = _node_keys(t)
     out: list[tuple[str, str]] = []
     for key2 in keys2:
         best_rate, best_key = -1.0, None
@@ -175,10 +196,10 @@ def generate_rule(pair: tuple[TreeNode, TreeNode, float]) -> LinkEdge:
     for key1, key2 in key_pairs:
         pattern += f"{key2}:{key1}/"
         mapped.add(key2)
-    for key in all_keys([u.pairs for u in node2.urls]):
+    for key in _node_keys(node2):
         if key in mapped:
             continue
-        vals = distinct_values_folded(key, [u.pairs for u in node2.urls])
+        vals = _node_distinct_folded(node2, key)
         if len(vals) == 1:
             pattern += f"{key}:#{vals[0]}/"
         else:

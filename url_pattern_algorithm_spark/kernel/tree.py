@@ -419,8 +419,12 @@ def structural_match(pattern_str: str, pairs: Pairs, star: str = "*") -> bool:
     return True
 
 
-def flatten_nodes(builder: TreeBuilder) -> list[dict]:
-    """Flatten a built tree into relational rows for the nodes table."""
+def flatten_nodes(builder: TreeBuilder, example_cap: int = 300) -> list[dict]:
+    """Flatten a built tree into relational rows for the nodes table.
+
+    Leaves carry up to ``example_cap`` example URLs in list order — parity
+    with PatternJob.java:322-329, which appends at most 300 example URLs per
+    leaf to the emitted pattern record; non-leaves carry none."""
     depth: dict[int, int] = {}
     rows = []
     for n in builder.nodes:
@@ -438,6 +442,9 @@ def flatten_nodes(builder: TreeBuilder) -> list[dict]:
                 "is_leaf": n.is_leaf,
                 "child_has_star": n.child_has_star,
                 "urls_type": n.urls_type,
+                "example_urls": (
+                    [u.url for u in n.urls[:example_cap]] if n.is_leaf else []
+                ),
             }
         )
     return rows

@@ -24,17 +24,29 @@ from url_pattern_algorithm_spark.kernel.tree import structural_match
 def classify_structural(
     spark: SparkSession, pages: DataFrame, nodes: DataFrame,
     out_col: str = "page_type",
+    max_side_rows: int = 1_000_000,
 ) -> DataFrame:
     """pages(host, url, ...) + nodes -> + page_type column.
 
     The per-host leaf patternStr lists are a small dimension: collected once,
     broadcast into the UDF closure (the reference's setup()-side-input
     pattern, GarbagePageUrlPatternJob.java:216-253). Pattern-tree tables are
-    bounded by hosts x leaves, not by corpus size — safe to broadcast.
+    bounded by hosts x leaves, not by corpus size — but at web scale (10^7+
+    hosts) the full dimension would still flood the driver, so the collect is
+    (a) scoped by a semi-join to hosts actually present in this batch and
+    (b) size-guarded: past ``max_side_rows`` the caller must switch to the
+    fully relational path (classify_regex / support_ratio joins).
     """
-    leaf_rows = (
-        nodes.filter("is_leaf").select("host", "pattern").collect()
-    )
+    leaves = nodes.filter("is_leaf").select("host", "pattern")
+    batch_hosts = pages.select("host").distinct()
+    scoped = leaves.join(batch_hosts, "host", "left_semi")
+    leaf_rows = scoped.limit(max_side_rows + 1).collect()
+    if len(leaf_rows) > max_side_rows:
+        raise ValueError(
+            f"classify_structural side input exceeds {max_side_rows} rows "
+            "after host scoping; use classify_regex (broadcast-join) or "
+            "support_ratio (membership join) instead"
+        )
     by_host: dict[str, list[str]] = {}
     for r in leaf_rows:
         by_host.setdefault(r["host"], []).append(r["pattern"])

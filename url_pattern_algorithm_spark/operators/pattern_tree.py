@@ -25,13 +25,15 @@ from url_pattern_algorithm_spark.kernel.tree import (
 TREE_SCHEMA = (
     "host string, node_id int, parent_id int, depth int, partition_key string, "
     "partition_value string, pattern string, pattern_output string, "
-    "url_count long, is_leaf boolean, child_has_star boolean, urls_type int"
+    "url_count long, is_leaf boolean, child_has_star boolean, urls_type int, "
+    "example_urls array<string>"
 )
 
 MEMBERSHIP_SCHEMA = "host string, url string, node_id int"
 
 
-def build_trees(urls: DataFrame, min_host_urls: int = 0) -> DataFrame:
+def build_trees(urls: DataFrame, min_host_urls: int = 0,
+                example_cap: int = 300) -> DataFrame:
     """(host, url) -> flattened per-host pattern-tree node table.
 
     ``min_host_urls`` is the reducer gate (100000 in PatternJob.java:263-265,
@@ -51,7 +53,7 @@ def build_trees(urls: DataFrame, min_host_urls: int = 0) -> DataFrame:
             )
         b = TreeBuilder()
         b.build(parsed)
-        rows = flatten_nodes(b)
+        rows = flatten_nodes(b, example_cap=example_cap)
         out = pd.DataFrame(rows)
         out.insert(0, "host", host)
         return out

@@ -74,14 +74,28 @@ def learn_rules(cluster_rows: DataFrame, min_cluster_size: int = 10) -> DataFram
 def apply_rules(
     spark: SparkSession, urls: DataFrame, rules: DataFrame,
     out_col: str = "url_rewritten",
+    max_side_rows: int = 1_000_000,
 ) -> DataFrame:
     """urls(host, url, ...) -> + rewritten column (first matching rule per
     host, rule_id order; pass-through when none matches).
 
-    Rules are collected (small: hosts x surviving edges) and broadcast; the
-    per-host structural match + rewrite runs in one Arrow batch per task.
+    Rules are a small dimension (hosts x surviving edges) collected and
+    broadcast; the per-host structural match + rewrite runs in one Arrow
+    batch per task. At web scale the collect is scoped to hosts present in
+    the batch (semi-join) and size-guarded — past ``max_side_rows`` rules
+    must be applied per-host-partition (join rules to urls on host and
+    rewrite inside applyInPandas) instead of via one driver broadcast.
     """
-    rule_rows = rules.orderBy("host", "rule_id").collect()
+    scoped = rules.join(urls.select("host").distinct(), "host", "left_semi")
+    rule_rows = sorted(
+        scoped.limit(max_side_rows + 1).collect(),
+        key=lambda r: (r["host"], r["rule_id"]),
+    )
+    if len(rule_rows) > max_side_rows:
+        raise ValueError(
+            f"apply_rules side input exceeds {max_side_rows} rows after "
+            "host scoping; switch to a per-host join + applyInPandas rewrite"
+        )
     by_host: dict[str, list[tuple[str, str]]] = {}
     for r in rule_rows:
         by_host.setdefault(r["host"], []).append((r["pattern"], r["rule"]))

@@ -78,14 +78,17 @@ def cosine_topk(
 
 
 def lsh_buckets(df: DataFrame, n_planes: int = 8,
-                vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+                vec_col: str = "embedding", dim: int = 64,
+                salt: str = "") -> DataFrame:
     """+ ``bucket``: sign pattern under n_planes pseudo-random hyperplanes.
 
     Plane coefficients are derived from the deterministic 60-bit hash of
-    'p{plane}:{dim}' mapped to [-1, 1) — reproducible in SQL, no stored
-    model. One shuffle-free projection: planes explode x n_planes, dot via
-    per-dimension explode + groupBy sum would shuffle, so instead the dot
-    runs inside an array fold per plane (codegen, zero shuffle).
+    '{salt}p{plane}:{dim}' mapped to [-1, 1) — reproducible in SQL, no
+    stored model (``salt`` gives independent plane sets for the multi-table
+    OR-construction). One shuffle-free projection: planes explode x
+    n_planes, dot via per-dimension explode + groupBy sum would shuffle, so
+    instead the dot runs inside an array fold per plane (codegen, zero
+    shuffle).
     """
     planes = []
     for p in range(n_planes):
@@ -94,7 +97,9 @@ def lsh_buckets(df: DataFrame, n_planes: int = 8,
 
         coefs = []
         for d in range(dim):
-            hx = int(hashlib.md5(f"p{p}:{d}".encode()).hexdigest()[:15], 16)
+            hx = int(
+                hashlib.md5(f"{salt}p{p}:{d}".encode()).hexdigest()[:15], 16
+            )
             coefs.append(((hx % MINHASH_P) / MINHASH_P) * 2.0 - 1.0)
         planes.append(F.array(*[F.lit(c) for c in coefs]))
     bucket = F.lit(0).cast("long")
@@ -107,22 +112,62 @@ def lsh_buckets(df: DataFrame, n_planes: int = 8,
 
 def ann_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                       n_planes: int = 8, vec_col: str = "embedding",
-                      id_col: str = "vec_id", dim: int = 64) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket
-    (equi-join on bucket instead of a cross join). Recall < 1 by design;
-    rank order within the bucket is exact cosine."""
-    cb = lsh_buckets(corpus, n_planes, vec_col, dim)
-    qb = lsh_buckets(queries, n_planes, vec_col, dim)
-    q = qb.select(F.col(id_col).alias("query_id"), "bucket",
-                  F.col(vec_col).alias("q_vec"))
-    c = cb.select(F.col(id_col).alias("neighbor_id"), "bucket",
-                  F.col(vec_col).alias("c_vec"))
+                      id_col: str = "vec_id", dim: int = 64,
+                      multiprobe: bool = False, n_tables: int = 1) -> DataFrame:
+    """Approximate top-k: candidates restricted to LSH-bucket collisions
+    (equi-joins on bucket — never a cross join). Recall < 1 by design; rank
+    order within the candidate set is exact cosine.
+
+    Two recall knobs, composable:
+    - ``multiprobe=True``: also probe every Hamming-1 neighbor bucket (the
+      query side explodes to n_planes+1 buckets — a near-miss on one
+      hyperplane sign no longer loses the neighbor). Candidate cost grows
+      ~(n_planes+1)x.
+    - ``n_tables=L``: the classic OR-construction — L independent plane
+      sets (salted coefficient hashes); a pair is a candidate if it
+      collides in ANY table. Per-table match prob p^b becomes
+      1-(1-p^b)^L. Candidate cost grows ~Lx; cross-table duplicate pairs
+      are deduped BEFORE the cosine so each candidate is scored once.
+
+    Scale shape: candidate generation emits (query_id, neighbor_id) pairs
+    only (no vectors ride through the union/distinct shuffles); vectors join
+    back once for scoring — broadcast on the query side, equi-join on the
+    corpus side."""
+    flips = F.array(F.lit(0), *[F.lit(1 << p) for p in range(n_planes)])
+    parts = []
+    for t in range(n_tables):
+        salt = "" if t == 0 else f"t{t}"
+        cb = lsh_buckets(corpus, n_planes, vec_col, dim, salt=salt)
+        qb = lsh_buckets(queries, n_planes, vec_col, dim, salt=salt)
+        if multiprobe:
+            qb = qb.withColumn(
+                "bucket",
+                F.explode(
+                    F.transform(flips, lambda m: F.col("bucket").bitwiseXOR(m))
+                ),
+            )
+        parts.append(
+            F.broadcast(qb.select(F.col(id_col).alias("query_id"), "bucket"))
+            .join(cb.select(F.col(id_col).alias("neighbor_id"), "bucket"),
+                  "bucket")
+            .select("query_id", "neighbor_id")
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    if n_tables > 1:
+        pairs = pairs.distinct()
+    pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"))
     cos = _dot(F.col("q_vec"), F.col("c_vec")) / (
         _norm(F.col("q_vec")) * _norm(F.col("c_vec"))
     )
     scored = (
-        F.broadcast(q).join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        pairs.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
         .select("query_id", "neighbor_id", cos.alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -537,6 +537,54 @@ FROM canon GROUP BY 1, 2
 """
 
 
+def q_theme_page_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 assembled (plans/theme_pages.py; ThemePageUrlPatternJob parity):
+    per-host trees learned from the THEME-typed canonical pages, every page
+    (canonical + off-corpus hosts) classified against the learned leaf
+    alternations. The oracle is SQL-statable because on this corpus the
+    learned alternation provably covers every training URL (the tree's
+    page-split child subsumes all URLs and regex matching is unanchored) and
+    untrained hosts have no alternation -> OTHER_PAGE."""
+    from url_pattern_algorithm_spark.plans.theme_pages import theme_page_plan
+
+    canon = _canon_df(spark, sf_dir)
+    theme = canon.select(
+        "host", F.col("url_canon").alias("url"),
+        F.lit("THEME_PAGE").alias("type"),
+    )
+    o = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    ehost = F.concat(F.lit("www.othersite"), (ok % 5).cast("string"),
+                     F.lit(".com"))
+    extras = o.filter(ok % 10 == 0).select(
+        ehost.alias("host"),
+        F.concat(F.lit("http://"), ehost, F.lit("/page/"),
+                 ok.cast("string")).alias("url"),
+        F.lit("UNKNOWN").alias("type"),
+    )
+    pages = theme.unionByName(extras)
+    classified, _ = theme_page_plan(spark, pages, min_host_urls=50)
+    return classified.groupBy("host", "page_type").agg(F.count("*").alias("n"))
+
+
+SQL_THEME_PAGE_CLASSIFY = CANON_SQL + """
+, big AS (SELECT host FROM canon GROUP BY host HAVING count(*) >= 50),
+extras AS (
+  SELECT 'www.othersite' || (ok % 5) || '.com' AS host
+  FROM urls WHERE ok % 10 = 0
+),
+labeled AS (
+  SELECT c.host,
+         CASE WHEN b.host IS NOT NULL THEN 'THEME_PAGE'
+              ELSE 'OTHER_PAGE' END AS page_type
+  FROM canon c LEFT JOIN big b ON c.host = b.host
+  UNION ALL
+  SELECT host, 'OTHER_PAGE' FROM extras
+)
+SELECT host, page_type, count(*) AS n FROM labeled GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # D. Pattern-tree + rewrite-rule pipelines (UDF recursion — no SQL oracle;
 #    bit-parity is covered by the pure-python oracle tests in tests/)
@@ -563,10 +611,17 @@ def _cluster_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     the duplicate-page signal the reference mines rewrite rules from.
     Cluster = (host, page); its members span both shapes, so the per-page
     leaf nodes of the two shapes overlap the cluster at rate 1.0 (>= the 0.5
-    threshold, TreeNode.java:775-778) and a view->doc rewrite rule emerges."""
+    threshold, TreeNode.java:775-778) and a view->doc rewrite rule emerges.
+
+    24 hosts: per-host rule learning is an applyInPandas group per host (the
+    reference's own reducer-per-host distribution), so the corpus must offer
+    enough groups to fill the cores — with 2 hosts the bench ran the whole
+    learn pass at parallelism 2. 24 keeps every per-page count above the >50
+    salient override at sf0.01 (15k orders / 24 hosts ~= 625 urls/host,
+    thinnest page ~62)."""
     o = _t(spark, sf_dir, "orders")
     ok, ck = F.col("o_orderkey"), F.col("o_custkey")
-    host = F.concat(F.lit("www.site"), (ck % 2).cast("string"), F.lit(".com"))
+    host = F.concat(F.lit("www.site"), (ck % 24).cast("string"), F.lit(".com"))
     pages = F.array(*[F.lit(p) for p in
                       ("alpha", "beta", "gamma", "delta", "epsilon")])
     # skewed page + shape distributions: the reference's trivial/salient
@@ -584,11 +639,13 @@ def _cluster_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("http://"), host, F.lit("/view?id="), page,
                  F.lit("&t="), ok.cast("string")),
     )
+    # no .distinct(): every URL embeds the unique o_orderkey (s=/t= param),
+    # so rows are unique by construction — the dedup shuffle would be a no-op
     return o.select(
         host.alias("host"),
         F.concat(host, F.lit("#"), page).alias("cluster_id"),
         url.alias("url"),
-    ).distinct()
+    )
 
 
 def q_rewrite_rules_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,7 +654,9 @@ def q_rewrite_rules_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rewrite_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    clusters = _cluster_urls(spark, sf_dir)
+    # the cluster corpus feeds BOTH the learn pass (collected inside
+    # apply_rules) and the rewrite scan — persist so it derives once
+    clusters = _cluster_urls(spark, sf_dir).persist()
     rules = learn_rules(clusters, min_cluster_size=2)
     rewritten = apply_rules(spark, clusters.select("host", "url"), rules)
     m = compression_metric(rewritten)
@@ -605,6 +664,57 @@ def q_rewrite_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host", "n_urls", "n_rewritten",
         F.round("compression_ratio", 6).alias("compression_ratio"),
     )
+
+
+def q_rewrite_apply_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule APPLICATION semantics (§2.8: LinkEdge.rewrite /
+    CalculateUtil.rewriteFromFile) under a literal hand-written rule list —
+    unlike the learned-rules queries, the rewrite output is closed-form, so
+    the per-host compression metric is fully SQL-oracled: view-shape URLs
+    rewrite to 'http://host/doc/{page}' (replace path2<-id, keep doc, drop
+    t), doc-shape URLs structurally fail the pattern and pass through."""
+    clusters = _cluster_urls(spark, sf_dir)
+    hosts = [f"www.site{i}.com" for i in range(24)]
+    rules = spark.createDataFrame(
+        [(h, 0, "path0:.*/path1:view/", "path0:path0/path1:#doc/path2:id/")
+         for h in hosts],
+        "host string, rule_id int, pattern string, rule string",
+    )
+    rewritten = apply_rules(spark, clusters.select("host", "url"), rules)
+    m = compression_metric(rewritten)
+    return m.select(
+        "host", "n_urls", "n_rewritten",
+        F.round("compression_ratio", 6).alias("compression_ratio"),
+    )
+
+
+SQL_REWRITE_APPLY_FIXED = """
+WITH c AS (
+  SELECT o_orderkey AS ok,
+         'www.site' || (o_custkey % 24) || '.com' AS host,
+         ['alpha','beta','gamma','delta','epsilon'][
+           least((o_orderkey // 10) % 10, 4) + 1] AS page,
+         o_orderkey % 10 < 6 AS is_doc
+  FROM orders
+),
+rw AS (
+  SELECT host,
+         CASE WHEN is_doc
+              THEN 'http://' || host || '/doc/' || page || '?s=' || ok
+              ELSE 'http://' || host || '/view?id=' || page || '&t=' || ok
+         END AS url,
+         CASE WHEN is_doc
+              THEN 'http://' || host || '/doc/' || page || '?s=' || ok
+              ELSE 'http://' || host || '/doc/' || page
+         END AS rewritten
+  FROM c
+)
+SELECT host, count(DISTINCT url) AS n_urls,
+       count(DISTINCT rewritten) AS n_rewritten,
+       round(count(DISTINCT rewritten) * 1.0 / count(DISTINCT url), 6)
+         AS compression_ratio
+FROM rw GROUP BY host
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -859,6 +969,7 @@ SELECT doc_id, min({h}) AS fingerprint FROM shingles GROUP BY doc_id
 # ---------------------------------------------------------------------------
 
 from url_pattern_algorithm_spark.operators.similarity import (  # noqa: E402
+    ann_bucketed_topk,
     cosine_topk,
     lsh_buckets,
 )
@@ -900,7 +1011,7 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.groupBy("bucket").agg(F.count("*").alias("n_vecs"))
 
 
-SQL_ANN_LSH_BUCKETS = """
+_ANN_BUCKETS_CTE = """
 WITH coefs AS (
   SELECT p, d,
          (({h} % 2147483647) / 2147483647.0) * 2 - 1 AS c
@@ -916,8 +1027,55 @@ buckets AS (
          CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
   FROM dots GROUP BY vec_id
 )
-SELECT bucket, count(*) AS n_vecs FROM buckets GROUP BY bucket
 """.format(h=H60_SQL.format(x="'p' || p || ':' || d"))
+
+SQL_ANN_LSH_BUCKETS = _ANN_BUCKETS_CTE + """
+SELECT bucket, count(*) AS n_vecs FROM buckets GROUP BY bucket
+"""
+
+
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-1 multi-probe bucketed ANN (single table): the query probes
+    its own bucket plus every 1-bit-flip neighbor bucket; candidates are
+    scored by exact cosine. The oracle restates bucket assignment + XOR
+    probe expansion + ranking in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    out = ann_bucketed_topk(emb, qs, k=10, n_planes=8, multiprobe=True)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("cos", 6).alias("cos"))
+
+
+SQL_ANN_MULTIPROBE = _ANN_BUCKETS_CTE + """
+, vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+probes AS (
+  SELECT b.vec_id AS query_id, xor(b.bucket, m) AS pbucket
+  FROM buckets b, unnest([0,1,2,4,8,16,32,64,128]) t(m)
+  WHERE b.vec_id < 5
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN buckets c ON c.bucket = p.pbucket
+  WHERE c.vec_id <> p.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(q.v, n.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))
+           AS cos
+  FROM cand
+  JOIN vecs q ON q.vec_id = query_id
+  JOIN vecs n ON n.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+FROM ranked WHERE rank <= 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1276,10 +1434,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kv_most_frequent_key": q_kv_most_frequent_key,
     "pattern_sanity_filter": q_pattern_sanity_filter,
     "pattern_match_classify": q_pattern_match_classify,
+    "theme_page_classify": q_theme_page_classify,
     "pattern_tree_nodes": q_pattern_tree_nodes,
     "leaf_alternations": q_leaf_alternations,
     "rewrite_rules_learn": q_rewrite_rules_learn,
     "rewrite_compression": q_rewrite_compression,
+    "rewrite_apply_fixed": q_rewrite_apply_fixed,
     "dedup_exact": q_dedup_exact,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
@@ -1290,6 +1450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_multiprobe": q_ann_multiprobe,
     "doc_lang_id": q_doc_lang_id,
     "doc_token_bpeish": q_doc_token_bpeish,
     "spans_extract_links": q_spans_extract_links,
@@ -1316,6 +1477,8 @@ ORACLES: dict[str, str] = {
     "kv_most_frequent_key": SQL_KV_MOST_FREQUENT_KEY,
     "pattern_sanity_filter": SQL_PATTERN_SANITY_FILTER,
     "pattern_match_classify": SQL_PATTERN_MATCH_CLASSIFY,
+    "theme_page_classify": SQL_THEME_PAGE_CLASSIFY,
+    "rewrite_apply_fixed": SQL_REWRITE_APPLY_FIXED,
     "dedup_exact": SQL_DEDUP_EXACT,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_quality": SQL_DOC_QUALITY,
@@ -1326,6 +1489,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
+    "ann_multiprobe": SQL_ANN_MULTIPROBE,
     "doc_token_bpeish": SQL_DOC_TOKEN_BPEISH,
     "spans_extract_links": SQL_SPANS_EXTRACT_LINKS,
     "spans_media_stats": SQL_SPANS_MEDIA_STATS,
