@@ -55,3 +55,43 @@ def test_candidate_stream_normalizes(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].url_canon == "http://a.com/y?b=2"
     assert rows[0].host == "a.com"
+
+
+def test_stateful_host_budget(spark, tmp_path):
+    # applyInPandasWithState token bucket: state carries (tokens, total)
+    # across micro-batches; two files at maxFilesPerTrigger=1 -> 2 batches.
+    import pandas as pd
+
+    from url_pattern_algorithm_spark.streaming.events import (
+        run_available_now,
+        stateful_host_budget,
+    )
+
+    src = tmp_path / "reqs"
+    src.mkdir()
+    b1 = pd.DataFrame({"host": ["a.com"] * 3 + ["b.com"], "url": ["u"] * 4})
+    b2 = pd.DataFrame({"host": ["a.com"] * 2, "url": ["u"] * 2})
+    b1.to_parquet(src / "part-000.parquet")
+    b2.to_parquet(src / "part-001.parquet")
+    stream = (
+        spark.readStream.schema("host string, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = stateful_host_budget(stream, tokens_init=2.0, cap=4.0, refill=1.0)
+    run_available_now(out, "budget_updates", str(tmp_path / "ckpt"),
+                      output_mode="update")
+    rows = spark.sql("SELECT * FROM budget_updates").collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    # a.com over both batches: totals accumulate to 5; tokens follow
+    # min(cap, t + refill) - n per batch from t0=2: 3-3=0 then 1-2=-1
+    a = sorted(by_host["a.com"], key=lambda r: r.total_requests)
+    assert [r.total_requests for r in a] == [3, 5]
+    assert [r.n_requests for r in a] == [3, 2]
+    assert a[0].tokens == pytest.approx(0.0)
+    assert a[1].tokens == pytest.approx(-1.0)
+    b = by_host["b.com"]
+    assert len(b) == 1 and b[0].total_requests == 1
+    assert b[0].tokens == pytest.approx(2.0)

@@ -4,7 +4,7 @@ Runs the full crawl loop (normalize -> robots -> Bloom+anti-join seen ->
 politeness -> salted top-k -> checkpoint write) at local[8] and local[32]
 on identical input, interleaved A/B/A/B with several repetitions, and
 reports per-leg MINIMUM wall time (the noise-robust estimator on a shared
-machine). Writes BENCH/BASELINE.md.
+machine). Writes BENCH/scaling.json (summarized in BENCH/BASELINE.md).
 
 Usage: python tools/scaling_probe.py [reps]
 """
@@ -37,7 +37,8 @@ pol = Politeness(BUDGET, BUDGET, BUDGET)
 root = tempfile.mkdtemp(prefix="scale_")
 t0 = time.time()
 counts = run_crawl(spark, docs, seeds, robots, root, n_docs=N_DOCS,
-                   iterations=2, run_id="scale", pol=pol)
+                   iterations=2, run_id="scale", pol=pol,
+                   bloom_m_bits=1 << 20)
 dt = time.time() - t0
 shutil.rmtree(root, ignore_errors=True)
 print("LEGRESULT " + json.dumps(

@@ -33,6 +33,16 @@ BLOOM_BITS_PER_KEY = 10  # ~1% fp at k=7
 BLOOM_HASHES = 7
 
 
+def _set_bits(bits: "np.ndarray", hashes: "np.ndarray", m: int) -> None:
+    """Set the k Bloom positions for each 64-bit hash (double hashing)."""
+    h1 = hashes
+    h2 = (hashes >> np.uint64(17)) | (hashes << np.uint64(47))
+    for k in range(BLOOM_HASHES):
+        idx = (h1 + np.uint64(k) * h2) % np.uint64(m)
+        np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                         (1 << (idx & np.uint64(7))).astype(np.uint8))
+
+
 def build_bloom(seen: DataFrame, n_buckets: int = 64,
                 bits_per_key: int = BLOOM_BITS_PER_KEY,
                 m_bits: int | None = None) -> DataFrame:
@@ -59,12 +69,7 @@ def build_bloom(seen: DataFrame, n_buckets: int = 64,
         else:
             m = 1 << int(np.ceil(np.log2(max(n * bits_per_key, 64))))
         bits = np.zeros(m // 8, dtype=np.uint8)
-        h1 = hashes
-        h2 = (hashes >> np.uint64(17)) | (hashes << np.uint64(47))
-        for k in range(BLOOM_HASHES):
-            idx = (h1 + np.uint64(k) * h2) % np.uint64(m)
-            np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
-                             (1 << (idx & np.uint64(7))).astype(np.uint8))
+        _set_bits(bits, hashes, m)
         return pd.DataFrame(
             {"bucket": [int(pdf["bucket"].iloc[0])], "m_bits": [int(m)],
              "bitmap": [bits.tobytes()]}
@@ -108,6 +113,52 @@ def or_blooms(state: DataFrame, delta: DataFrame) -> DataFrame:
     both = state.select(*cols).unionByName(delta.select(*cols))
     return both.groupBy("bucket").applyInPandas(
         merge, "bucket int, m_bits long, bitmap binary"
+    )
+
+
+def update_blooms(state: DataFrame, delta_hashes: DataFrame,
+                  n_buckets: int = 64,
+                  m_bits: int = 1 << 17) -> DataFrame:
+    """One-pass incremental Bloom update: state' = state | bloom(delta).
+
+    Fuses the delta-bitmap build and the OR-merge into a single COGROUP on
+    bucket (one shuffle of the delta's hashes, state rows ride along one per
+    bucket) — half the passes of build_bloom + or_blooms. Buckets absent
+    from the delta pass their state row through; buckets absent from the
+    state get a fresh bitmap at the fixed ``m_bits``.
+    """
+
+    def merge(delta_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(state_pdf):
+            m = int(state_pdf["m_bits"].iloc[0])
+            if m != m_bits:
+                raise ValueError(
+                    f"stored bloom m_bits={m} != configured {m_bits}; "
+                    "rebuild blooms with build_bloom(..., m_bits=...)"
+                )
+            bits = np.frombuffer(state_pdf["bitmap"].iloc[0],
+                                 dtype=np.uint8).copy()
+            bucket = int(state_pdf["bucket"].iloc[0])
+        else:
+            bits = np.zeros(m_bits // 8, dtype=np.uint8)
+            bucket = int(delta_pdf["bucket"].iloc[0])
+        if len(delta_pdf):
+            hashes = delta_pdf["url_hash"].to_numpy(dtype=np.int64).astype(
+                np.uint64
+            )
+            _set_bits(bits, hashes, m_bits)
+        return pd.DataFrame(
+            {"bucket": [bucket], "m_bits": [int(m_bits)],
+             "bitmap": [bits.tobytes()]}
+        )
+
+    delta_b = delta_hashes.withColumn(
+        "bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int")
+    )
+    return (
+        delta_b.groupBy("bucket")
+        .cogroup(state.select("bucket", "m_bits", "bitmap").groupBy("bucket"))
+        .applyInPandas(merge, "bucket int, m_bits long, bitmap binary")
     )
 
 

@@ -110,6 +110,51 @@ def lsh_buckets(df: DataFrame, n_planes: int = 8,
     return df.withColumn("bucket", bucket)
 
 
+def cosine_near_duplicates(corpus: DataFrame, threshold: float = 0.8,
+                           n_planes: int = 8, n_tables: int = 1,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id", dim: int = 64) -> DataFrame:
+    """Corpus x corpus embedding near-dup pairs: (id_a, id_b, cos) with
+    cos >= threshold and id_a < id_b — the embedding analogue of MinHash
+    near-dup dedup, assembled end-to-end (the r1 gap: cosine_topk was
+    broadcast-Q-only).
+
+    Scale shape: NEVER all-pairs. Candidates are same-LSH-bucket pairs
+    (self-equi-join on bucket per table, OR across ``n_tables`` salted
+    tables for recall), deduped before scoring; exact cosine only on
+    candidates. At 10^9 vectors the bucket join shuffles on bucket — the
+    same banding shape as minhash_near_duplicates' (band, band_key) join.
+    """
+    parts = []
+    for t in range(n_tables):
+        salt = "" if t == 0 else f"t{t}"
+        b = lsh_buckets(corpus, n_planes, vec_col, dim, salt=salt).select(
+            F.col(id_col).alias("_id"), "bucket"
+        )
+        left = b.select(F.col("_id").alias("id_a"), "bucket")
+        right = b.select(F.col("_id").alias("id_b"), "bucket")
+        parts.append(
+            left.join(right, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    if n_tables > 1:
+        pairs = pairs.distinct()
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        pairs.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def ann_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                       n_planes: int = 8, vec_col: str = "embedding",
                       id_col: str = "vec_id", dim: int = 64,

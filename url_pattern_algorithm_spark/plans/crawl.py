@@ -46,11 +46,11 @@ from url_pattern_algorithm_spark.functions.links import extract_normalize_udf
 from url_pattern_algorithm_spark.functions.udfs import with_url_columns
 from url_pattern_algorithm_spark.operators.frontier import (
     build_bloom,
-    or_blooms,
     politeness_budgets,
     robots_filter,
     schedule_top_k,
     seen_filter,
+    update_blooms,
 )
 from url_pattern_algorithm_spark.sources.catalog import Catalog
 from url_pattern_algorithm_spark.sources.synthetic import _mix
@@ -167,10 +167,14 @@ def _read_blooms(cat: Catalog, iteration: int, n_buckets: int,
 
 
 def _with_hbucket(pending: DataFrame) -> DataFrame:
+    """Host-hash partition column + repartition on it: the repartition
+    bounds the partitioned write at one file per hbucket dir (without it,
+    every write task emits a file into every dir it touches — tasks x dirs
+    small files per snapshot)."""
     return pending.withColumn(
         "hbucket",
         F.pmod(F.xxhash64("host"), F.lit(PENDING_HBUCKETS)).cast("int"),
-    )
+    ).repartition(PENDING_HBUCKETS, "hbucket")
 
 
 def _new_frontier_rows(
@@ -241,7 +245,7 @@ def init_state(
         bloom0 = build_bloom(
             pending.select("url_hash"), bloom_buckets, m_bits=bloom_m_bits
         )
-        cat.write_checkpoint(bloom0, "bloom_0", run_id, 0)
+        cat.write_checkpoint(bloom0.coalesce(4), "bloom_0", run_id, 0)
     host_state = pending.select("host").distinct().select(
         "host",
         F.lit(pol.tokens_init).alias("tokens"),
@@ -335,12 +339,13 @@ def run_iteration(
     )
     _write_seen_delta(cat, new_rows, run_id, iteration, bloom_buckets)
     if use_bloom:
-        delta_bloom = build_bloom(
-            new_rows.select("url_hash"), bloom_buckets, m_bits=bloom_m_bits
+        # one cogroup pass builds the delta bitmaps AND ORs them into the
+        # stored state; coalesce: n_buckets rows never need 32 files
+        next_blooms = update_blooms(
+            blooms, new_rows.select("url_hash"), bloom_buckets, bloom_m_bits
         )
         cat.write_checkpoint(
-            or_blooms(blooms, delta_bloom), f"bloom_{iteration}",
-            run_id, iteration,
+            next_blooms.coalesce(4), f"bloom_{iteration}", run_id, iteration,
         )
     new_hosts = (
         new_rows.select("host").distinct()

@@ -62,8 +62,11 @@ def theme_page_plan(
         train = pages.select("host", "url")
     gated = gate_min_host_size(train, min_host_urls)
     capped = cap_per_host(gated, cap=cap)
+    # persist: leaf_alternations self-joins the node table three times
+    # (children/parents/leaves) — without the persist the per-host tree
+    # UDF re-runs once per join branch
     nodes = build_trees(capped, min_host_urls=min_host_urls,
-                        example_cap=example_cap)
+                        example_cap=example_cap).persist()
     alts = leaf_alternations(nodes).persist()
     if "url_canon" in pages.columns:
         pages_c = pages

@@ -562,8 +562,20 @@ def q_theme_page_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ok.cast("string")).alias("url"),
         F.lit("UNKNOWN").alias("type"),
     )
-    pages = theme.unionByName(extras)
-    classified, _ = theme_page_plan(spark, pages, min_host_urls=50)
+    # persist: the normalize-UDF-derived corpus feeds five plan branches
+    # (gate counts, gate semi-join, cap counts, cap join, classify);
+    # url_canon provided directly — both inputs are already canonical, so
+    # the plan skips its normalize pass (idempotence tested in test_canonical)
+    pages = (
+        theme.unionByName(extras)
+        .withColumn("url_canon", F.col("url"))
+        .persist()
+    )
+    # cap bounds the hot host's single-task tree build (PatternJob.java:256's
+    # own mechanism); the learned patterns are sample-invariant on this
+    # corpus (every value folds), so classification — and the oracle — are
+    # unchanged by the cap
+    classified, _ = theme_page_plan(spark, pages, min_host_urls=50, cap=20_000)
     return classified.groupBy("host", "page_type").agg(F.count("*").alias("n"))
 
 
@@ -601,7 +613,8 @@ def q_pattern_tree_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_leaf_alternations(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = _canon_df(spark, sf_dir).select("host", F.col("url_canon").alias("url"))
-    nodes = build_trees(canon, min_host_urls=50)
+    # persist: the star-collapse joins consume the tree-build UDF 3x
+    nodes = build_trees(canon, min_host_urls=50).persist()
     return leaf_alternations(nodes)
 
 
@@ -1078,6 +1091,79 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def _aug_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings corpus + planted near-duplicates: every 10th vector gets a
+    copy (vec_id+100000) with alternating ±10% per-dimension scaling —
+    cos(v, v') ≈ 0.995, while genuine pairs in this synthetic corpus top out
+    at ~0.38. Deterministic and restatable in DuckDB (indexed lambda)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    # Spark transform index is 0-based (DuckDB's is 1-based: i%2==1 there)
+    pert = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * F.when(i % 2 == 0, F.lit(1.1)).otherwise(F.lit(0.9)),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(pert)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, corpus x corpus: LSH-bucket
+    self-join candidates (never all-pairs), exact cosine >= 0.9 on
+    candidates only — the embedding analogue of dedup_minhash."""
+    from url_pattern_algorithm_spark.operators.similarity import (
+        cosine_near_duplicates,
+    )
+
+    nd = cosine_near_duplicates(_aug_vecs(spark, sf_dir), threshold=0.9,
+                                n_planes=8)
+    return nd.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+SQL_DEDUP_EMBEDDING_COSINE = """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(embedding::DOUBLE[],
+                        (x, i) -> x * CASE WHEN i % 2 = 1 THEN 1.1 ELSE 0.9 END)
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+coefs AS (
+  SELECT p, d,
+         (({h} % 2147483647) / 2147483647.0) * 2 - 1 AS c
+  FROM range(0, 8) tp(p), range(0, 64) td(d)
+),
+dots AS (
+  SELECT vec_id, p, sum(v[d + 1] * c) AS dot
+  FROM corpus, coefs GROUP BY vec_id, p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         list_dot_product(x.v, y.v)
+           / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+           AS cos
+  FROM pairs
+  JOIN corpus x ON x.vec_id = id_a
+  JOIN corpus y ON y.vec_id = id_b
+)
+SELECT id_a, id_b, round(cos, 6) AS cos FROM scored WHERE cos >= 0.9
+""".format(h=H60_SQL.format(x="'p' || p || ':' || d"))
+
+
 # ---------------------------------------------------------------------------
 # E4. Text analysis (operators/textstats.py)
 # ---------------------------------------------------------------------------
@@ -1451,6 +1537,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_multiprobe": q_ann_multiprobe,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "doc_lang_id": q_doc_lang_id,
     "doc_token_bpeish": q_doc_token_bpeish,
     "spans_extract_links": q_spans_extract_links,
@@ -1490,6 +1577,7 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
     "ann_multiprobe": SQL_ANN_MULTIPROBE,
+    "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "doc_token_bpeish": SQL_DOC_TOKEN_BPEISH,
     "spans_extract_links": SQL_SPANS_EXTRACT_LINKS,
     "spans_media_stats": SQL_SPANS_MEDIA_STATS,

@@ -59,6 +59,48 @@ def candidate_stream(urls: DataFrame) -> DataFrame:
     return with_url_columns(urls).filter(F.col("url_canon").isNotNull())
 
 
+def stateful_host_budget(requests: DataFrame, tokens_init: float = 2.0,
+                         cap: float = 4.0, refill: float = 1.0) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``): the
+    per-host politeness token bucket as continuous state over a stream of
+    fetch requests — the streaming twin of the batch
+    ``operators.frontier.politeness_budgets`` transition (tokens' =
+    min(cap, tokens + refill) per micro-batch, debited by the batch's
+    request count; cumulative request total carried in state).
+
+    Emits one row per (host, micro-batch): (host, n_requests, tokens,
+    total_requests). State is keyed by host — bounded by host cardinality,
+    the same partitioning axis as the batch loop's host_state table.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        if state.exists:
+            tokens, total = state.get
+        else:
+            tokens, total = float(tokens_init), 0
+        tokens = min(cap, tokens + refill) - n
+        total += n
+        state.update((float(tokens), int(total)))
+        yield pd.DataFrame(
+            {"host": [key[0]], "n_requests": [n], "tokens": [float(tokens)],
+             "total_requests": [total]}
+        )
+
+    return requests.groupBy("host").applyInPandasWithState(
+        fn,
+        outputStructType="host string, n_requests long, tokens double, "
+                         "total_requests long",
+        stateStructType="tokens double, total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(stream_df: DataFrame, table_name: str,
                       checkpoint_dir: str, output_mode: str = "append"):
     """Drain everything currently available into a memory sink (test/dev) —
