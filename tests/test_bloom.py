@@ -59,3 +59,40 @@ def test_catalog_compact_preserves_rows(spark, tmp_path):
     assert before == after
     files = [f for f in os.listdir(tmp_path / "seen_x") if f.endswith(".parquet")]
     assert len(files) <= 2
+
+
+def test_update_blooms_equals_rebuild(spark):
+    # incremental state' = state | bloom(delta) must equal a from-scratch
+    # build over the union, bit for bit (fixed m)
+    from pyspark.sql import functions as F
+
+    from url_pattern_algorithm_spark.operators.frontier import update_blooms
+
+    M = 1 << 13
+    old = spark.range(3000).select(F.xxhash64("id").alias("url_hash"))
+    delta = spark.range(3000, 4000).select(F.xxhash64("id").alias("url_hash"))
+    state = build_bloom(old, n_buckets=8, m_bits=M)
+    inc = {
+        r.bucket: (r.m_bits, bytes(r.bitmap))
+        for r in update_blooms(state, delta, n_buckets=8, m_bits=M).collect()
+    }
+    full = {
+        r.bucket: (r.m_bits, bytes(r.bitmap))
+        for r in build_bloom(old.unionByName(delta), n_buckets=8,
+                             m_bits=M).collect()
+    }
+    assert inc == full
+
+
+def test_update_blooms_m_mismatch_raises(spark):
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    from url_pattern_algorithm_spark.operators.frontier import update_blooms
+
+    old = spark.range(100).select(F.xxhash64("id").alias("url_hash"))
+    delta = spark.range(100, 120).select(F.xxhash64("id").alias("url_hash"))
+    state = build_bloom(old, n_buckets=4, m_bits=1 << 12)
+    with _pytest.raises(Exception, match="m_bits"):
+        update_blooms(state, delta, n_buckets=4, m_bits=1 << 13).collect()
