@@ -163,3 +163,40 @@ def test_resume_before_compaction_watermark_refused(crawl_run, tmp_path):
     counts2 = run_crawl(spark, docs, seeds, robots, ckpt2, N_DOCS,
                         iterations=ITERS, resume_from=2, run_id="ok")
     assert counts2[ITERS] == counts[ITERS]
+
+
+def test_fresh_run_wipes_stale_append_state(crawl_run, tmp_path):
+    # a fresh run (resume_from=None) into a previously-used checkpoint root
+    # must NOT inherit the prior run's seen/bloom/compaction state
+    spark, ckpt, counts, oracle, docs, seeds, robots = crawl_run
+    dirty = str(tmp_path / "dirty")
+    run_crawl(spark, docs, seeds, robots, dirty, N_DOCS, iterations=ITERS,
+              compact_every=2)
+    n_clean = read_seen(Catalog(spark, ckpt), ITERS).count()
+    # fresh re-run into the SAME dir: identical state as a clean dir
+    counts2 = run_crawl(spark, docs, seeds, robots, dirty, N_DOCS,
+                        iterations=ITERS, run_id="fresh2")
+    assert counts2 == counts
+    cat = Catalog(spark, dirty)
+    assert read_seen(cat, ITERS).count() == n_clean
+    # stale compaction watermark gone with the wipe
+    for it in range(1, ITERS + 1):
+        assert _spark_scheduled(spark, dirty, it) == _spark_scheduled(
+            spark, ckpt, it
+        )
+
+
+def test_resume_with_mismatched_bloom_params_refused(crawl_run, tmp_path):
+    import pytest as _pytest
+
+    spark, ckpt, counts, oracle, docs, seeds, robots = crawl_run
+    root = str(tmp_path / "meta")
+    run_crawl(spark, docs, seeds, robots, root, N_DOCS, iterations=2,
+              bloom_buckets=16, bloom_m_bits=1 << 14)
+    with _pytest.raises(ValueError, match="does not match the checkpoint"):
+        run_crawl(spark, docs, seeds, robots, root, N_DOCS, iterations=3,
+                  resume_from=2, bloom_buckets=32, bloom_m_bits=1 << 14)
+    counts2 = run_crawl(spark, docs, seeds, robots, root, N_DOCS,
+                        iterations=3, resume_from=2, bloom_buckets=16,
+                        bloom_m_bits=1 << 14)
+    assert counts2[3] == counts[3]

@@ -21,6 +21,9 @@ def test_host_extraction():
     # bracketed IPv6 literals keep their brackets (java.net.URL.getHost)
     assert get_host("http://[::1]:8080/x") == "[::1]"
     assert get_host("http://[2001:db8::1]/x") == "[2001:db8::1]"
+    # unclosed bracket = malformed (Java throws) -> None
+    assert get_host("http://[::1/x") is None
+    assert get_host("http://[::1") is None
 
 
 def test_full_t1_dot_split_path_key():

@@ -61,11 +61,13 @@ def get_host(url: str) -> str | None:
     if at != -1:
         authority = authority[at + 1 :]
     # bracketed IPv6 authority: host is '[...]' with brackets, like
-    # java.net.URL.getHost(); the ':port' (if any) follows the ']'
+    # java.net.URL.getHost(); the ':port' (if any) follows the ']'.
+    # An unclosed bracket is malformed (java.net.URL throws) -> None.
     if authority.startswith("["):
         close = authority.find("]")
-        if close != -1:
-            return authority[: close + 1]
+        if close == -1:
+            return None
+        return authority[: close + 1]
     # strip port
     colon = authority.find(":")
     if colon != -1:

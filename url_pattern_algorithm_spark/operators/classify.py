@@ -36,6 +36,10 @@ def classify_structural(
     (a) scoped by a semi-join to hosts actually present in this batch and
     (b) size-guarded: past ``max_side_rows`` the caller must switch to the
     fully relational path (classify_regex / support_ratio joins).
+
+    NB: the host-scoping collect evaluates ``pages``' lineage once in
+    addition to the classification action — persist an expensive ``pages``
+    input before calling.
     """
     leaves = nodes.filter("is_leaf").select("host", "pattern")
     batch_hosts = pages.select("host").distinct()

@@ -56,7 +56,7 @@ def build_bloom(seen: DataFrame, n_buckets: int = 64,
 
     ``m_bits`` fixes every bucket's bitmap size instead of sizing it from
     the bucket's key count — required for the *incremental* maintenance mode
-    (:func:`or_blooms`): bitmaps built from per-iteration deltas can only be
+    (:func:`update_blooms`): bitmaps built from per-iteration deltas can only be
     OR-merged when all share one m. Size m for the run's expected keys per
     bucket (~10 bits/key for ~1% fp).
     """
@@ -83,39 +83,6 @@ def build_bloom(seen: DataFrame, n_buckets: int = 64,
     )
 
 
-def or_blooms(state: DataFrame, delta: DataFrame) -> DataFrame:
-    """OR per-bucket Bloom bitmaps: state' = state | delta.
-
-    The incremental-maintenance step of the crawl loop: instead of
-    rebuilding every bitmap from the FULL seen table each iteration
-    (O(seen keys)), the new iteration's delta bitmaps (O(delta keys)) are
-    OR-merged into the stored bitmap table (O(total bitmap bytes) — ~10
-    *bits* per seen key, two orders of magnitude below rewriting seen
-    rows). Requires fixed ``m_bits`` across both inputs per bucket.
-    """
-
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = int(pdf["m_bits"].iloc[0])
-        if not (pdf["m_bits"] == m).all():
-            raise ValueError(
-                "or_blooms requires fixed m_bits per bucket; build deltas "
-                "with build_bloom(..., m_bits=M)"
-            )
-        out = np.frombuffer(pdf["bitmap"].iloc[0], dtype=np.uint8).copy()
-        for b in pdf["bitmap"].iloc[1:]:
-            out |= np.frombuffer(b, dtype=np.uint8)
-        return pd.DataFrame(
-            {"bucket": [int(pdf["bucket"].iloc[0])], "m_bits": [m],
-             "bitmap": [out.tobytes()]}
-        )
-
-    cols = ["bucket", "m_bits", "bitmap"]
-    both = state.select(*cols).unionByName(delta.select(*cols))
-    return both.groupBy("bucket").applyInPandas(
-        merge, "bucket int, m_bits long, bitmap binary"
-    )
-
-
 def update_blooms(state: DataFrame, delta_hashes: DataFrame,
                   n_buckets: int = 64,
                   m_bits: int = 1 << 17) -> DataFrame:
@@ -123,7 +90,7 @@ def update_blooms(state: DataFrame, delta_hashes: DataFrame,
 
     Fuses the delta-bitmap build and the OR-merge into a single COGROUP on
     bucket (one shuffle of the delta's hashes, state rows ride along one per
-    bucket) — half the passes of build_bloom + or_blooms. Buckets absent
+    bucket) — half the passes of a separate build + merge. Buckets absent
     from the delta pass their state row through; buckets absent from the
     state get a fresh bitmap at the fixed ``m_bits``.
     """

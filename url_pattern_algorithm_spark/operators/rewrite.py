@@ -85,6 +85,10 @@ def apply_rules(
     the batch (semi-join) and size-guarded — past ``max_side_rows`` rules
     must be applied per-host-partition (join rules to urls on host and
     rewrite inside applyInPandas) instead of via one driver broadcast.
+
+    NB: the host-scoping collect evaluates ``urls``' lineage once in
+    addition to the rewrite action — persist an expensive ``urls`` input
+    before calling (q_rewrite_compression does).
     """
     scoped = rules.join(urls.select("host").distinct(), "host", "left_semi")
     rule_rows = sorted(

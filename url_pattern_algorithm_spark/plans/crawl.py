@@ -18,9 +18,9 @@ State-table I/O is sized for a 10^10-key frontier:
   the previous snapshot-per-iteration design wrote the full seen table every
   iteration (quadratic cumulative I/O over a long crawl).
 - Bloom bitmaps are maintained INCREMENTALLY: ``bloom_i = bloom_{i-1} |
-  build_bloom(delta)`` (operators.frontier.or_blooms) at fixed per-bucket
-  size ``bloom_m_bits``. Maintenance cost is O(delta keys + bitmap bytes);
-  bitmap bytes are ~10 *bits* per seen key.
+  bloom(delta)`` in one fused cogroup pass (operators.frontier.update_blooms)
+  at fixed per-bucket size ``bloom_m_bits``. Maintenance cost is
+  O(delta keys + bitmap bytes); bitmap bytes are ~10 *bits* per seen key.
 - ``compact_seen`` collapses old epochs into the single ``epoch=-1``
   partition on a cadence (``compact_every``), bounding file counts exactly
   like Iceberg's rewrite_data_files; ``first_iter`` is a data column, so
@@ -142,9 +142,12 @@ def compact_seen(cat: Catalog, upto: int, n_buckets: int = 64) -> None:
         )
         return merged.repartition(n_buckets, "bucket")
 
-    cat.rewrite("seen", collapse, partition_by=["epoch", "bucket"])
+    # watermark FIRST (fail-safe direction): a crash between the two steps
+    # then refuses some resumes that would still have been valid, instead of
+    # permitting a resume into already-compacted history (duplicate rows)
     wm = cat.spark.createDataFrame([(upto,)], "upto int")
     cat.append(wm, "_compaction")
+    cat.rewrite("seen", collapse, partition_by=["epoch", "bucket"])
 
 
 def compaction_watermark(cat: Catalog) -> int:
@@ -153,6 +156,39 @@ def compaction_watermark(cat: Catalog) -> int:
         return -1
     row = cat.read("_compaction").agg(F.max("upto").alias("m")).collect()[0]
     return int(row["m"]) if row["m"] is not None else -1
+
+
+def _write_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int) -> None:
+    """Persist the run's structural parameters (driver-side file, no Spark
+    job): the bucket count is baked into every stored bloom bitmap and seen
+    bucket column, so resuming with different values would silently produce
+    Bloom false negatives — validated on resume instead."""
+    import json
+    import os
+
+    os.makedirs(cat.root, exist_ok=True)
+    with open(os.path.join(cat.root, "_run_meta.json"), "w") as f:
+        json.dump({"bloom_buckets": bloom_buckets,
+                   "bloom_m_bits": bloom_m_bits}, f)
+
+
+def _check_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int) -> None:
+    import json
+    import os
+
+    path = os.path.join(cat.root, "_run_meta.json")
+    if not os.path.exists(path):
+        return  # pre-meta checkpoint dirs stay resumable
+    with open(path) as f:
+        meta = json.load(f)
+    if (meta.get("bloom_buckets") != bloom_buckets
+            or meta.get("bloom_m_bits") != bloom_m_bits):
+        raise ValueError(
+            f"resume with bloom_buckets={bloom_buckets}/"
+            f"bloom_m_bits={bloom_m_bits} does not match the checkpoint's "
+            f"{meta}: stored bitmaps and seen buckets are keyed by these — "
+            "resume with the original values or start a fresh run"
+        )
 
 
 def _read_blooms(cat: Catalog, iteration: int, n_buckets: int,
@@ -403,10 +439,20 @@ def run_crawl(
     counts: dict[int, int] = {}
     start = 1
     if resume_from is None:
+        # fresh run: the append-style tables (seen, blooms, compaction
+        # watermark, metrics) would otherwise silently merge with a prior
+        # run's state in a reused checkpoint root — wipe them first (the
+        # per-iteration snapshot tables are name-overwritten anyway)
+        for name in cat.table_names():
+            if (name == "seen" or name == "_compaction"
+                    or name == "_metrics" or name.startswith("bloom_")):
+                cat.drop(name)
+        _write_run_meta(cat, bloom_buckets, bloom_m_bits)
         init_state(spark, seeds, robots, cat, run_id, pol,
                    use_bloom=use_bloom, bloom_buckets=bloom_buckets,
                    bloom_m_bits=bloom_m_bits)
     else:
+        _check_run_meta(cat, bloom_buckets, bloom_m_bits)
         wm = compaction_watermark(cat)
         if resume_from < wm:
             raise ValueError(

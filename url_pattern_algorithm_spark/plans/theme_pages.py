@@ -64,10 +64,13 @@ def theme_page_plan(
     capped = cap_per_host(gated, cap=cap)
     # persist: leaf_alternations self-joins the node table three times
     # (children/parents/leaves) — without the persist the per-host tree
-    # UDF re-runs once per join branch
+    # UDF re-runs once per join branch. alts is tiny (one row per host);
+    # materializing it here lets nodes be released before returning.
     nodes = build_trees(capped, min_host_urls=min_host_urls,
                         example_cap=example_cap).persist()
     alts = leaf_alternations(nodes).persist()
+    alts.count()
+    nodes.unpersist()
     if "url_canon" in pages.columns:
         pages_c = pages
     else:

@@ -41,6 +41,15 @@ class Catalog:
     def read(self, name: str) -> DataFrame:
         return self.spark.read.format(_FORMAT).load(self.path(name))
 
+    def drop(self, name: str) -> None:
+        """Delete a table directory (no-op when absent)."""
+        import shutil
+
+        shutil.rmtree(self.path(name), ignore_errors=True)
+
+    def table_names(self) -> list[str]:
+        return sorted(os.listdir(self.root)) if os.path.isdir(self.root) else []
+
     def write(
         self,
         df: DataFrame,
