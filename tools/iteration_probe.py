@@ -8,7 +8,13 @@ grows. This probe runs >= 6 iterations at a steady per-iteration batch size
 (budget-bounded scheduling keeps the scheduled count constant) and records
 each iteration's wall time + the cumulative seen size.
 
-Usage: python tools/iteration_probe.py [iterations] -> BENCH/iteration_times.json
+Usage: python tools/iteration_probe.py [iterations] [master] [out_name]
+       -> BENCH/<out_name; default iteration_times.json>
+
+With a master argument this doubles as the STEADY-STATE scaling probe: the
+mean of iterations 3..N at local[8] vs local[32] compares the warm loop
+(the regime a long crawl lives in), excluding init and worker warm-up that
+dominate the 2-iteration cold probe (tools/scaling_probe.py).
 """
 
 from __future__ import annotations
@@ -42,7 +48,9 @@ BLOOM_M = 1 << 20
 
 def main() -> None:
     iterations = int(sys.argv[1]) if len(sys.argv) > 1 else 6
-    spark = get_spark("iterprobe", master="local[32]", shuffle_partitions=32)
+    master = sys.argv[2] if len(sys.argv) > 2 else "local[32]"
+    out_name = sys.argv[3] if len(sys.argv) > 3 else "iteration_times.json"
+    spark = get_spark("iterprobe", master=master, shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     docs = docs_df(spark, N_DOCS, N_HOSTS).persist()
     docs.count()
@@ -72,16 +80,22 @@ def main() -> None:
     shutil.rmtree(root, ignore_errors=True)
     first, last = iters[0]["sec"], iters[-1]["sec"]
     mid = sorted(i["sec"] for i in iters)[len(iters) // 2]
+    warm = [i for i in iters if i["iteration"] >= 3]
+    steady = sum(i["sec"] for i in warm) / max(len(warm), 1)
     out = {
         "config": {"n_docs": N_DOCS, "n_hosts": N_HOSTS,
                    "seeds": N_HOSTS * SEEDS_PER_HOST, "budget": BUDGET,
-                   "bloom_m_bits": BLOOM_M, "master": "local[32]"},
+                   "bloom_m_bits": BLOOM_M, "master": master},
         "iterations": iters,
+        "steady_state_sec_per_iter": round(steady, 2),
+        "steady_state_urls_per_sec": round(
+            sum(i["scheduled"] for i in warm)
+            / max(sum(i["sec"] for i in warm), 1e-9), 1),
         "last_over_median": round(last / mid, 3),
         "flat": last <= 1.5 * mid,
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH", "iteration_times.json")
+        os.path.abspath(__file__))), "BENCH", out_name)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
