@@ -246,3 +246,39 @@ def test_side_input_collect_guards(spark):
     assert apply_rules(spark, urls1, rules, max_side_rows=1).count() == 1
     with _pytest.raises(ValueError, match="side input exceeds"):
         apply_rules(spark, all_pages, rules, max_side_rows=1).count()
+
+
+def test_robots_longest_match_precedence(spark):
+    # standard robots.txt precedence: longest matching prefix wins; allow
+    # wins prefix-length ties; no match = allowed
+    from url_pattern_algorithm_spark.operators.frontier import robots_filter
+
+    robots = spark.createDataFrame(
+        [
+            ("h.com", "/private", False),
+            ("h.com", "/private/pub", True),   # allow carve-out
+            ("h.com", "/x", False),
+            ("h.com", "/x", True),             # tie -> allow wins
+        ],
+        "host string, prefix string, allow boolean",
+    )
+    cand = spark.createDataFrame(
+        [
+            ("h.com", "http://h.com/private/a"),      # blocked
+            ("h.com", "http://h.com/private/pub/a"),  # carved out -> kept
+            ("h.com", "http://h.com/x/1"),            # tie -> kept
+            ("h.com", "http://h.com/open"),           # no rule -> kept
+            ("other.com", "http://other.com/private/a"),  # no host rules
+        ],
+        "host string, url string",
+    )
+    got = {r.url for r in robots_filter(cand, robots, longest_match=True).collect()}
+    assert got == {
+        "http://h.com/private/pub/a",
+        "http://h.com/x/1",
+        "http://h.com/open",
+        "http://other.com/private/a",
+    }
+    # default (parity) mode still drops anything under a disallow prefix
+    got_plain = {r.url for r in robots_filter(cand, robots).collect()}
+    assert got_plain == {"http://h.com/open", "http://other.com/private/a"}

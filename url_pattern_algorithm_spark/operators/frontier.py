@@ -198,26 +198,58 @@ def seen_filter(candidates: DataFrame, seen: DataFrame | None,
 # ---------------------------------------------------------------------------
 
 
-def robots_filter(candidates: DataFrame, robots: DataFrame) -> DataFrame:
-    """Drop candidates whose canonical path starts with a disallowed prefix.
+def robots_filter(candidates: DataFrame, robots: DataFrame,
+                  longest_match: bool = False) -> DataFrame:
+    """Robots rule matching on the candidate's path.
 
     Robots rule sets are per-host and tiny -> broadcast join (the reference's
     side-input pattern, PatternJob.java:200-239). Uses url (raw) path.
+
+    Default mode: drop candidates whose path starts with any disallow
+    prefix (allow rows ignored) — the crawl loop's parity semantics (the
+    pure-python oracle implements the same rule).
+
+    ``longest_match=True``: standard robots.txt precedence — among all
+    rules whose prefix matches the path, the LONGEST wins; the candidate
+    survives iff that rule is an allow (or no rule matches). Still one
+    broadcast join + one window over the matched rows only.
     """
-    disallow = robots.filter(~F.col("allow")).select(
-        F.col("host").alias("r_host"), F.col("prefix")
-    )
     # try_parse_url: ANSI parse_url throws on malformed URLs (web-scale
     # candidate streams always contain some)
     _parse = getattr(F, "try_parse_url", F.parse_url)
     path = F.coalesce(_parse(F.col("url"), F.lit("PATH")), F.lit("/"))
-    joined = candidates.join(
-        F.broadcast(disallow),
-        (F.col("host") == F.col("r_host"))
-        & path.startswith(F.col("prefix")),
+    if not longest_match:
+        disallow = robots.filter(~F.col("allow")).select(
+            F.col("host").alias("r_host"), F.col("prefix")
+        )
+        joined = candidates.join(
+            F.broadcast(disallow),
+            (F.col("host") == F.col("r_host"))
+            & path.startswith(F.col("prefix")),
+            "left",
+        )
+        return joined.filter(F.col("r_host").isNull()).drop("r_host", "prefix")
+    rules = robots.select(
+        F.col("host").alias("r_host"), F.col("prefix"), F.col("allow")
+    )
+    cand = candidates.withColumn("_rid", F.monotonically_increasing_id())
+    joined = cand.join(
+        F.broadcast(rules),
+        (F.col("host") == F.col("r_host")) & path.startswith(F.col("prefix")),
         "left",
     )
-    return joined.filter(F.col("r_host").isNull()).drop("r_host", "prefix")
+    # longest matching prefix wins; allow breaks prefix-length ties
+    # (Google robots spec: least-restrictive on ties)
+    w = Window.partitionBy("_rid").orderBy(
+        F.length(F.col("prefix")).desc_nulls_last(),
+        F.col("allow").desc_nulls_last(),
+    )
+    ranked = joined.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("_rn") == 1)
+        .filter(F.col("prefix").isNull() | F.col("allow"))
+        .drop("r_host", "prefix", "allow", "_rid", "_rn")
+    )
 
 
 def schedule_top_k(frontier: DataFrame, budget_col, salts: int = 16) -> DataFrame:
