@@ -149,3 +149,10 @@ def test_light_tokenizer():
         ("path1", "p"),
         ("path2", "k="),
     ]
+    # garbage authorities -> None (frontier-key stability; java.net.URL
+    # throws for non-numeric ports)
+    assert get_host("http:///x") is None            # empty host
+    assert get_host("http://&/") is None            # delimiter in host
+    assert get_host("http://a=b/") is None
+    assert get_host("http://h:.:80/") is None       # non-numeric port
+    assert get_host("http://h:80x/") is None

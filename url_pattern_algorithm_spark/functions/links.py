@@ -25,11 +25,7 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
-from url_pattern_algorithm_spark.kernel.canonical import canonical_url
-from url_pattern_algorithm_spark.kernel.rfc3986 import (
-    rfc3986_normalize,
-    strip_session_ids,
-)
+from url_pattern_algorithm_spark.kernel.rfc3986 import normalize_frontier_url
 from url_pattern_algorithm_spark.kernel.tokenize import get_host
 
 _URL_RE = re.compile(r"https?://[^\s\"'<>)\]]+")
@@ -94,13 +90,12 @@ def extract_normalize_udf(spans: pd.Series) -> pd.Series:
         out = []
         for u in extract_links(spans_row):
             host = get_host_lower(u)
-            if host is None:
-                canon = None  # scheme-less: skip (reference host-parse rule)
-            else:
-                try:
-                    canon = canonical_url(rfc3986_normalize(strip_session_ids(u)))
-                except Exception:
-                    canon = None
+            try:
+                # None for unparsable/bracketed hosts (the single shared
+                # chain — kernel.rfc3986.normalize_frontier_url)
+                canon = normalize_frontier_url(u)
+            except Exception:
+                canon = None
             out.append({"url": u, "url_canon": canon, "host": host})
         return out
 

@@ -25,6 +25,7 @@ from pyspark.sql.types import (
 
 from url_pattern_algorithm_spark.kernel.canonical import canonical_url
 from url_pattern_algorithm_spark.kernel.rfc3986 import (
+    normalize_frontier_url,
     rfc3986_normalize,
     strip_session_ids,
 )
@@ -89,9 +90,7 @@ def normalize_url_udf(urls: pd.Series) -> pd.Series:
     reference skips URLs whose host parse fails, ProcessedUrl.java:90-96;
     the crawl oracle does the same)."""
     return urls.map(
-        lambda u: None
-        if u is None or get_host(u) is None
-        else canonical_url(rfc3986_normalize(strip_session_ids(u)))
+        lambda u: None if u is None else normalize_frontier_url(u)
     )
 
 

@@ -14,12 +14,8 @@ import math
 from dataclasses import dataclass, field
 
 from url_pattern_algorithm_spark.functions.links import extract_links
-from url_pattern_algorithm_spark.kernel.canonical import canonical_url
 from url_pattern_algorithm_spark.kernel.hashing import spark_xxhash64
-from url_pattern_algorithm_spark.kernel.rfc3986 import (
-    rfc3986_normalize,
-    strip_session_ids,
-)
+from url_pattern_algorithm_spark.kernel.rfc3986 import normalize_frontier_url
 from url_pattern_algorithm_spark.kernel.tokenize import get_host
 from url_pattern_algorithm_spark.sources.synthetic import _mix, gen_doc
 
@@ -28,8 +24,9 @@ TOKENS_CAP = 4.0
 REFILL = 1.0
 
 
-def normalize(url: str) -> str:
-    return canonical_url(rfc3986_normalize(strip_session_ids(url)))
+def normalize(url: str) -> str | None:
+    """Same single chain the Spark UDFs use (bit-for-bit parity)."""
+    return normalize_frontier_url(url)
 
 
 def raw_path(url: str) -> str:
@@ -65,9 +62,9 @@ class OracleState:
 
 def _candidate(url: str) -> tuple[int, str, str, str] | None:
     host = get_host(url)
-    if host is None:
-        return None
     canon = normalize(url)
+    if host is None or canon is None:
+        return None
     return spark_xxhash64(canon), url, canon, host.lower()
 
 

@@ -156,3 +156,24 @@ def strip_session_ids(url: str) -> str:
     ]
     base = url[:qpos]
     return base + ("?" + "&".join(kept) if kept else "") + frag
+
+
+def normalize_frontier_url(url: str) -> str | None:
+    """The full frontier normalization chain with its skip rules, in ONE
+    place (used by normalize_url_udf, the fused extract+normalize link UDF,
+    and the pure-python crawl oracle — they MUST agree bit-for-bit):
+
+    strip_session_ids -> rfc3986_normalize -> canonical_url, or None when
+    - the host parse fails (reference rule: ProcessedUrl.java:90-96), or
+    - the host is a bracketed (IPv6) literal: the reference's light
+      tokenizer splits on ':' and cannot represent such authorities, so no
+      canonical fixpoint exists for them (property-tested; the 2014
+      reference predates IPv6 crawling).
+    """
+    from url_pattern_algorithm_spark.kernel.canonical import canonical_url
+    from url_pattern_algorithm_spark.kernel.tokenize import get_host
+
+    host = get_host(url)
+    if host is None or host.startswith("["):
+        return None
+    return canonical_url(rfc3986_normalize(strip_session_ids(url)))

@@ -68,10 +68,23 @@ def get_host(url: str) -> str | None:
         if close == -1:
             return None
         return authority[: close + 1]
-    # strip port
+    # strip port; a non-numeric port is malformed (java.net.URL throws
+    # NumberFormatException for 'http://h:.:80/' — None matches the
+    # caller-skips-URL behavior)
     colon = authority.find(":")
     if colon != -1:
+        port = authority[colon + 1 :]
+        if port and not (port.isascii() and port.isdigit()):
+            return None
         authority = authority[:colon]
+    # empty host ('http:///x') and hosts containing tokenizer delimiters
+    # ('&'/'='; RFC 3986 technically permits sub-delims in reg-names):
+    # java.net.URL returns them verbatim; we treat them as malformed (None).
+    # Such hosts are useless as frontier keys and their canonical form would
+    # not be a normalization fixpoint — the light tokenizer would split the
+    # host apart (documented divergence; pinned by tests/test_properties.py)
+    if not authority or "&" in authority or "=" in authority:
+        return None
     return authority
 
 
