@@ -149,6 +149,9 @@ def test_light_tokenizer():
         ("path1", "p"),
         ("path2", "k="),
     ]
+
+
+def test_malformed_authorities_rejected():
     # garbage authorities -> None (frontier-key stability; java.net.URL
     # throws for non-numeric ports)
     assert get_host("http:///x") is None            # empty host
