@@ -240,3 +240,27 @@ def test_ann_multitable_multiprobe_recall(spark):
         ).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_ann_ivf_recall(spark):
+    # IVF with nprobe=4 of 8 cells: recall@10 well above the single-cell
+    # floor; deterministic (seeded init, fixed iterations)
+    from pyspark.sql import functions as F
+
+    from url_pattern_algorithm_spark.operators.similarity import (
+        ann_ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").persist()
+    cents = kmeans_centroids(emb, k=8, iters=2, dim=64)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    qs = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, qs, k=10).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ann_ivf_topk(emb, qs, cents, k=10, nprobe=4).collect()}
+    rec = len(exact & approx) / len(exact)
+    assert rec >= 0.5, rec
+    # determinism: same centroids on a rerun
+    assert kmeans_centroids(emb, k=8, iters=2, dim=64) == cents

@@ -110,6 +110,100 @@ def lsh_buckets(df: DataFrame, n_planes: int = 8,
     return df.withColumn("bucket", bucket)
 
 
+def kmeans_centroids(corpus: DataFrame, k: int = 8, iters: int = 2,
+                     dim: int = 64, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> list[list[float]]:
+    """Deterministic Lloyd iterations for the IVF coarse quantizer.
+
+    Init = the k lowest-id vectors (no rand()); assignment = argmin squared
+    L2 via per-centroid codegen expressions (x·c - |c|²/2, first max wins);
+    update = per-(cluster, dim) mean through posexplode + groupBy — two
+    shuffles per iteration, nothing corpus-scale on the driver (the model
+    itself is k x dim doubles, broadcast-sized by construction).
+    """
+    init = (
+        corpus.orderBy(id_col).limit(k)
+        .select(F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in init]
+    for _ in range(iters):
+        assigned = with_ivf_cluster(corpus, centroids, vec_col)
+        sums = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("mean"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty cluster keeps old centroid
+        for r in sums:
+            new[r["cluster"]][r["pos"]] = r["mean"]
+        centroids = new
+    return centroids
+
+
+def with_ivf_cluster(df: DataFrame, centroids: list[list[float]],
+                     vec_col: str = "embedding") -> DataFrame:
+    """+ ``cluster``: index of the nearest centroid (argmin L2 == argmax
+    x·c - |c|²/2; ties -> lowest index, deterministic)."""
+    scores = []
+    for c in centroids:
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        norm2 = sum(x * x for x in c)
+        scores.append(_dot(F.col(vec_col), lit_c) - F.lit(norm2 / 2.0))
+    arr = F.array(*scores)
+    return df.withColumn(
+        "cluster",
+        (F.array_position(arr, F.array_max(arr)) - 1).cast("int"),
+    )
+
+
+def ann_ivf_topk(corpus: DataFrame, queries: DataFrame,
+                 centroids: list[list[float]], k: int = 10, nprobe: int = 2,
+                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF search: corpus partitioned by nearest centroid; each query probes
+    its ``nprobe`` nearest centroid cells (explode), candidates join on the
+    cell id (equi-join — never a cross join), exact cosine ranks them."""
+    c_assigned = with_ivf_cluster(corpus, centroids, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "cluster",
+        F.col(vec_col).alias("c_vec"),
+    )
+    scores = []
+    for c in centroids:
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        norm2 = sum(x * x for x in c)
+        scores.append(_dot(F.col(vec_col), lit_c) - F.lit(norm2 / 2.0))
+    arr = F.array(*scores)
+    # rank centroids per query; keep the nprobe best cells
+    scored_cells = F.transform(
+        arr, lambda s, i: F.struct(s.alias("s"), i.alias("cell"))
+    )
+    top_cells = F.slice(
+        F.reverse(F.array_sort(scored_cells)), 1, nprobe
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"),
+                       F.explode(top_cells).alias("c"))
+        .select("query_id", "q_vec", F.col("c.cell").cast("int").alias("cluster"))
+    )
+    cos = _dot(F.col("q_vec"), F.col("c_vec")) / (
+        _norm(F.col("q_vec")) * _norm(F.col("c_vec"))
+    )
+    scored = (
+        F.broadcast(q).join(c_assigned, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_near_duplicates(corpus: DataFrame, threshold: float = 0.8,
                            n_planes: int = 8, n_tables: int = 1,
                            vec_col: str = "embedding",

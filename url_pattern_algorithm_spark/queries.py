@@ -1091,6 +1091,116 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means coarse quantizer (init = k lowest-id
+    vectors, fixed Lloyd iterations) partitions the corpus into cells; each
+    query probes its nprobe nearest cells; exact cosine ranks candidates.
+    The oracle replays the identical iterations in SQL."""
+    from url_pattern_algorithm_spark.operators.similarity import (
+        ann_ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").persist()
+    cents = kmeans_centroids(emb, k=8, iters=2, dim=64)
+    qs = emb.filter(F.col("vec_id") < 5)
+    out = ann_ivf_topk(emb, qs, cents, k=10, nprobe=2)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("cos", 6).alias("cos"))
+
+
+def _ivf_sql(k: int = 8, iters: int = 2, nprobe: int = 2,
+             dim: int = 64) -> str:
+    """DuckDB replay of kmeans_centroids + ann_ivf_topk. Tie rules match
+    Spark exactly: assignment argmax -> lowest cluster (array_position
+    first match); query probe ranking -> (score DESC, cluster DESC)
+    (reverse(array_sort(struct(s, cell))))."""
+    d1 = dim + 1
+    sql = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+         FROM vecs ORDER BY vec_id LIMIT {k}),
+cent0p AS (SELECT cluster, i - 1 AS pos, v[i] AS val
+           FROM seed, range(1, {d1}) r(i))"""
+    for n in range(iters):
+        sql += f""",
+n2_{n} AS (SELECT cluster, sum(val * val) AS n2 FROM cent{n}p GROUP BY 1),
+score_{n} AS (
+  SELECT vv.vec_id, cp.cluster,
+         sum(vv.v[cp.pos + 1] * cp.val) - any_value(nn.n2) / 2 AS s
+  FROM vecs vv, cent{n}p cp JOIN n2_{n} nn USING (cluster)
+  GROUP BY vv.vec_id, cp.cluster
+),
+assign_{n} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cluster ASC) AS rn
+    FROM score_{n}
+  ) WHERE rn = 1
+),
+cent{n + 1}p AS (
+  SELECT cp.cluster, cp.pos, coalesce(m.mean, cp.val) AS val
+  FROM cent{n}p cp LEFT JOIN (
+    SELECT a.cluster, i - 1 AS pos, avg(vv.v[i]) AS mean
+    FROM assign_{n} a JOIN vecs vv USING (vec_id), range(1, {d1}) r(i)
+    GROUP BY 1, 2
+  ) m ON m.cluster = cp.cluster AND m.pos = cp.pos
+)"""
+    fin = iters
+    sql += f""",
+n2_f AS (SELECT cluster, sum(val * val) AS n2 FROM cent{fin}p GROUP BY 1),
+score_f AS (
+  SELECT vv.vec_id, cp.cluster,
+         sum(vv.v[cp.pos + 1] * cp.val) - any_value(nn.n2) / 2 AS s
+  FROM vecs vv, cent{fin}p cp JOIN n2_f nn USING (cluster)
+  GROUP BY vv.vec_id, cp.cluster
+),
+corpus_cells AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cluster ASC) AS rn
+    FROM score_f
+  ) WHERE rn = 1
+),
+probe_cells AS (
+  SELECT vec_id AS query_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cluster DESC) AS rn
+    FROM score_f WHERE vec_id < 5
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id
+  FROM probe_cells p JOIN corpus_cells c USING (cluster)
+  WHERE c.vec_id <> p.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(q.v, n.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))
+           AS cos
+  FROM cand
+  JOIN vecs q ON q.vec_id = query_id
+  JOIN vecs n ON n.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+FROM ranked WHERE rank <= 10
+"""
+    return sql
+
+
+SQL_ANN_IVF = _ivf_sql()
+
+
 def _aug_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings corpus + planted near-duplicates: every 10th vector gets a
     copy (vec_id+100000) with alternating ±10% per-dimension scaling —
@@ -1537,6 +1647,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_multiprobe": q_ann_multiprobe,
+    "ann_ivf": q_ann_ivf,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "doc_lang_id": q_doc_lang_id,
     "doc_token_bpeish": q_doc_token_bpeish,
@@ -1577,6 +1688,7 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
     "ann_multiprobe": SQL_ANN_MULTIPROBE,
+    "ann_ivf": SQL_ANN_IVF,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "doc_token_bpeish": SQL_DOC_TOKEN_BPEISH,
     "spans_extract_links": SQL_SPANS_EXTRACT_LINKS,
