@@ -200,3 +200,28 @@ def test_resume_with_mismatched_bloom_params_refused(crawl_run, tmp_path):
                         iterations=3, resume_from=2, bloom_buckets=16,
                         bloom_m_bits=1 << 14)
     assert counts2[3] == counts[3]
+
+
+def test_resume_beyond_fresh_runs_end_refused(crawl_run, tmp_path):
+    # a reused checkpoint root can hold pending_N/host_state_N snapshots
+    # from a LONGER previous run; resuming the (shorter) fresh run past its
+    # own last iteration must be refused, not silently mix the two runs'
+    # states (r2 ADVICE) — and the fresh-run wipe now drops the stale
+    # snapshots too, so the guard is belt-and-braces
+    import pytest as _pytest
+
+    spark, ckpt, counts, oracle, docs, seeds, robots = crawl_run
+    root = str(tmp_path / "mix")
+    run_crawl(spark, docs, seeds, robots, root, N_DOCS, iterations=ITERS)
+    # shorter fresh run into the same root
+    run_crawl(spark, docs, seeds, robots, root, N_DOCS, iterations=2,
+              run_id="short")
+    cat = Catalog(spark, root)
+    assert not cat.exists(f"pending_{ITERS}")  # stale snapshots wiped
+    with _pytest.raises(ValueError, match="beyond this run's last"):
+        run_crawl(spark, docs, seeds, robots, root, N_DOCS,
+                  iterations=ITERS + 1, resume_from=ITERS, run_id="bad")
+    # resuming AT the fresh run's end is fine
+    counts2 = run_crawl(spark, docs, seeds, robots, root, N_DOCS,
+                        iterations=ITERS, resume_from=2, run_id="ok")
+    assert counts2[ITERS] == counts[ITERS]

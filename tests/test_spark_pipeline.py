@@ -244,8 +244,17 @@ def test_side_input_collect_guards(spark):
     )
     urls1 = pages
     assert apply_rules(spark, urls1, rules, max_side_rows=1).count() == 1
-    with _pytest.raises(ValueError, match="side input exceeds"):
-        apply_rules(spark, all_pages, rules, max_side_rows=1).count()
+    # past the guard apply_rules no longer raises: it switches to the
+    # host-cogrouped relational path — byte-identical to broadcast (r3)
+    via_broadcast = sorted(
+        map(tuple, apply_rules(spark, all_pages, rules).collect())
+    )
+    via_cogroup = sorted(
+        map(tuple, apply_rules(spark, all_pages, rules,
+                               max_side_rows=1).collect())
+    )
+    assert via_cogroup == via_broadcast
+    assert len(via_cogroup) == 3
 
 
 def test_robots_longest_match_precedence(spark):
@@ -282,3 +291,35 @@ def test_robots_longest_match_precedence(spark):
     # default (parity) mode still drops anything under a disallow prefix
     got_plain = {r.url for r in robots_filter(cand, robots).collect()}
     assert got_plain == {"http://h.com/open", "http://other.com/private/a"}
+
+
+def test_robots_longest_match_deterministic(spark):
+    # r2 keyed the precedence window on monotonically_increasing_id, which
+    # is not stable under task retry — the r3 rewrite has no row identity
+    # at all. Pin: (a) identical output across repeated computations of the
+    # same lineage under different partitionings; (b) duplicate candidate
+    # rows survive independently (a window keyed on url would merge them).
+    from pyspark.sql import functions as F
+
+    from url_pattern_algorithm_spark.operators.frontier import robots_filter
+
+    robots = spark.createDataFrame(
+        [("h.com", "/a", False), ("h.com", "/a/b", True)],
+        "host string, prefix string, allow boolean",
+    )
+    cand = spark.range(200).select(
+        F.lit("h.com").alias("host"),
+        F.concat(
+            F.lit("http://h.com/a/b/"), (F.col("id") % 100).cast("string")
+        ).alias("url"),  # each url appears exactly twice
+    )
+    out = robots_filter(cand, robots, longest_match=True)
+    runs = [
+        sorted(r.url for r in out.collect()),
+        sorted(r.url for r in out.repartition(7).collect()),
+        sorted(r.url for r in out.coalesce(1).collect()),
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    assert len(runs[0]) == 200  # duplicates preserved, all carved out
+    # and the plan has no window: the decision is a scalar expression
+    assert "Window" not in out._jdf.queryExecution().executedPlan().toString()

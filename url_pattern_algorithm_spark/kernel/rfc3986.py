@@ -170,10 +170,21 @@ def normalize_frontier_url(url: str) -> str | None:
       canonical fixpoint exists for them (property-tested; the 2014
       reference predates IPv6 crawling).
     """
-    from url_pattern_algorithm_spark.kernel.canonical import canonical_url
-    from url_pattern_algorithm_spark.kernel.tokenize import get_host
+    # lazy module-level cache: canonical/tokenize import this module, so a
+    # top-level import would be circular — but this function runs once per
+    # extracted link (millions/iteration), so resolve the callees once
+    global _canonical_url, _get_host
+    if _canonical_url is None:
+        from url_pattern_algorithm_spark.kernel.canonical import canonical_url
+        from url_pattern_algorithm_spark.kernel.tokenize import get_host
 
-    host = get_host(url)
+        _canonical_url, _get_host = canonical_url, get_host
+
+    host = _get_host(url)
     if host is None or host.startswith("["):
         return None
-    return canonical_url(rfc3986_normalize(strip_session_ids(url)))
+    return _canonical_url(rfc3986_normalize(strip_session_ids(url)))
+
+
+_canonical_url = None
+_get_host = None

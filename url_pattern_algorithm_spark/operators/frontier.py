@@ -211,8 +211,13 @@ def robots_filter(candidates: DataFrame, robots: DataFrame,
 
     ``longest_match=True``: standard robots.txt precedence — among all
     rules whose prefix matches the path, the LONGEST wins; the candidate
-    survives iff that rule is an allow (or no rule matches). Still one
-    broadcast join + one window over the matched rows only.
+    survives iff that rule is an allow (or no rule matches). Implemented
+    as one equi broadcast join against per-host collected rule arrays +
+    a codegen ``array_max`` over the matched rules — no window, no row
+    identity: deterministic under task retry/stage recomputation (r2's
+    monotonically_increasing_id window key could split one candidate's
+    rows across recomputed partitions), and duplicate candidate rows
+    pass through independently like the default mode.
     """
     # try_parse_url: ANSI parse_url throws on malformed URLs (web-scale
     # candidate streams always contain some)
@@ -229,27 +234,32 @@ def robots_filter(candidates: DataFrame, robots: DataFrame,
             "left",
         )
         return joined.filter(F.col("r_host").isNull()).drop("r_host", "prefix")
-    rules = robots.select(
-        F.col("host").alias("r_host"), F.col("prefix"), F.col("allow")
+    # per-host rule arrays: robots rule sets are tiny (dozens of rows per
+    # host), so collect_list stays broadcast-sized; list order is
+    # irrelevant — precedence is an order-insensitive array_max
+    rule_sets = robots.groupBy(F.col("host").alias("r_host")).agg(
+        F.collect_list(
+            F.struct(
+                F.length("prefix").alias("len"),
+                F.col("allow"),
+                F.col("prefix"),
+            )
+        ).alias("_rules")
     )
-    cand = candidates.withColumn("_rid", F.monotonically_increasing_id())
-    joined = cand.join(
-        F.broadcast(rules),
-        (F.col("host") == F.col("r_host")) & path.startswith(F.col("prefix")),
-        "left",
+    joined = candidates.join(
+        F.broadcast(rule_sets), F.col("host") == F.col("r_host"), "left"
     )
+    matched = F.filter(F.col("_rules"), lambda r: path.startswith(r["prefix"]))
     # longest matching prefix wins; allow breaks prefix-length ties
-    # (Google robots spec: least-restrictive on ties)
-    w = Window.partitionBy("_rid").orderBy(
-        F.length(F.col("prefix")).desc_nulls_last(),
-        F.col("allow").desc_nulls_last(),
+    # (Google robots spec: least-restrictive on ties) — struct ordering
+    # (len, allow, prefix) compares exactly that way
+    best = F.array_max(matched)
+    keep = (
+        F.col("_rules").isNull()  # host has no robots rules
+        | (F.size(matched) == 0)
+        | best["allow"]
     )
-    ranked = joined.withColumn("_rn", F.row_number().over(w))
-    return (
-        ranked.filter(F.col("_rn") == 1)
-        .filter(F.col("prefix").isNull() | F.col("allow"))
-        .drop("r_host", "prefix", "allow", "_rid", "_rn")
-    )
+    return joined.filter(keep).drop("r_host", "_rules")
 
 
 def schedule_top_k(frontier: DataFrame, budget_col, salts: int = 16) -> DataFrame:

@@ -82,9 +82,12 @@ def apply_rules(
     Rules are a small dimension (hosts x surviving edges) collected and
     broadcast; the per-host structural match + rewrite runs in one Arrow
     batch per task. At web scale the collect is scoped to hosts present in
-    the batch (semi-join) and size-guarded — past ``max_side_rows`` rules
-    must be applied per-host-partition (join rules to urls on host and
-    rewrite inside applyInPandas) instead of via one driver broadcast.
+    the batch (semi-join) and size-guarded — past ``max_side_rows`` the
+    plan switches to the relational path automatically: a host-cogrouped
+    ``applyInPandas`` that ships each host's rule list once per group
+    task instead of one driver broadcast (byte-identical output; the only
+    constraint is the learn-side one a host's rows already obey — one
+    host's URLs per iteration batch fit one task).
 
     NB: the host-scoping collect evaluates ``urls``' lineage once in
     addition to the rewrite action — persist an expensive ``urls`` input
@@ -96,10 +99,7 @@ def apply_rules(
         key=lambda r: (r["host"], r["rule_id"]),
     )
     if len(rule_rows) > max_side_rows:
-        raise ValueError(
-            f"apply_rules side input exceeds {max_side_rows} rows after "
-            "host scoping; switch to a per-host join + applyInPandas rewrite"
-        )
+        return _apply_rules_cogrouped(urls, rules, out_col)
     by_host: dict[str, list[tuple[str, str]]] = {}
     for r in rule_rows:
         by_host.setdefault(r["host"], []).append((r["pattern"], r["rule"]))
@@ -116,6 +116,35 @@ def apply_rules(
         )
 
     return urls.withColumn(out_col, rewrite(F.col("host"), F.col("url")))
+
+
+def _apply_rules_cogrouped(urls: DataFrame, rules: DataFrame,
+                           out_col: str) -> DataFrame:
+    """Big-dimension rule application (the RewriteTool side-input pattern
+    re-expressed as a shuffle): cogroup URLs and rules on host so each
+    host's rule list crosses Arrow once per group task — no driver
+    materialization at any rules-table size. Byte-identical to the
+    broadcast path (same rewrite_url kernel, same rule_id precedence)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType(
+        list(urls.schema.fields) + [StructField(out_col, StringType())]
+    )
+
+    def rw(updf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        srt = rpdf.sort_values("rule_id")
+        rs = list(zip(srt["pattern"], srt["rule"]))
+        updf = updf.copy()
+        updf[out_col] = [
+            rewrite_url(rs, u) if rs else u for u in updf["url"]
+        ]
+        return updf
+
+    return (
+        urls.groupBy("host")
+        .cogroup(rules.groupBy("host"))
+        .applyInPandas(rw, out_schema)
+    )
 
 
 def compression_metric(rewritten: DataFrame, url_col: str = "url",

@@ -137,7 +137,11 @@ def kmeans_centroids(corpus: DataFrame, k: int = 8, iters: int = 2,
         )
         new = [list(c) for c in centroids]  # empty cluster keeps old centroid
         for r in sums:
-            new[r["cluster"]][r["pos"]] = r["mean"]
+            # quantize: F.avg's summation order varies with partitioning,
+            # and the DuckDB oracle replays avg under its own order —
+            # rounding to 1e-9 absorbs the ulp drift so near-tied cell
+            # assignments can't flip between engines/partitionings
+            new[r["cluster"]][r["pos"]] = round(r["mean"], 9)
         centroids = new
     return centroids
 

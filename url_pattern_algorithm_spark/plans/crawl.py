@@ -158,21 +158,28 @@ def compaction_watermark(cat: Catalog) -> int:
     return int(row["m"]) if row["m"] is not None else -1
 
 
-def _write_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int) -> None:
+def _write_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int,
+                    last_iteration: int = 0) -> None:
     """Persist the run's structural parameters (driver-side file, no Spark
     job): the bucket count is baked into every stored bloom bitmap and seen
     bucket column, so resuming with different values would silently produce
-    Bloom false negatives — validated on resume instead."""
+    Bloom false negatives — validated on resume instead.
+    ``last_iteration`` (updated after every completed iteration) bounds
+    resume_from: a reused checkpoint root can hold LATER pending/host_state
+    snapshots from a longer previous run, and resuming past this run's end
+    would silently mix the two runs' states."""
     import json
     import os
 
     os.makedirs(cat.root, exist_ok=True)
     with open(os.path.join(cat.root, "_run_meta.json"), "w") as f:
         json.dump({"bloom_buckets": bloom_buckets,
-                   "bloom_m_bits": bloom_m_bits}, f)
+                   "bloom_m_bits": bloom_m_bits,
+                   "last_iteration": last_iteration}, f)
 
 
-def _check_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int) -> None:
+def _check_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int,
+                    resume_from: int | None = None) -> None:
     import json
     import os
 
@@ -188,6 +195,14 @@ def _check_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int) -> None
             f"bloom_m_bits={bloom_m_bits} does not match the checkpoint's "
             f"{meta}: stored bitmaps and seen buckets are keyed by these — "
             "resume with the original values or start a fresh run"
+        )
+    last = meta.get("last_iteration")
+    if (resume_from is not None and last is not None
+            and resume_from > last):
+        raise ValueError(
+            f"resume_from={resume_from} is beyond this run's last completed "
+            f"iteration {last}: any pending_/host_state_ snapshots past it "
+            "belong to a previous run in this checkpoint root"
         )
 
 
@@ -439,20 +454,23 @@ def run_crawl(
     counts: dict[int, int] = {}
     start = 1
     if resume_from is None:
-        # fresh run: the append-style tables (seen, blooms, compaction
-        # watermark, metrics) would otherwise silently merge with a prior
-        # run's state in a reused checkpoint root — wipe them first (the
-        # per-iteration snapshot tables are name-overwritten anyway)
+        # fresh run: wipe EVERYTHING a crawl writes — the append-style
+        # tables (seen, blooms, compaction watermark, metrics) would
+        # silently merge with a prior run's state, and a longer prior
+        # run's per-iteration snapshots (pending_N/host_state_N/
+        # scheduled_N for N past this run's end) would otherwise survive
+        # and corrupt a later out-of-range resume
         for name in cat.table_names():
-            if (name == "seen" or name == "_compaction"
-                    or name == "_metrics" or name.startswith("bloom_")):
+            if (name in ("seen", "_compaction", "_metrics")
+                    or name.startswith(("bloom_", "pending_",
+                                        "host_state_", "scheduled_"))):
                 cat.drop(name)
         _write_run_meta(cat, bloom_buckets, bloom_m_bits)
         init_state(spark, seeds, robots, cat, run_id, pol,
                    use_bloom=use_bloom, bloom_buckets=bloom_buckets,
                    bloom_m_bits=bloom_m_bits)
     else:
-        _check_run_meta(cat, bloom_buckets, bloom_m_bits)
+        _check_run_meta(cat, bloom_buckets, bloom_m_bits, resume_from)
         wm = compaction_watermark(cat)
         if resume_from < wm:
             raise ValueError(
@@ -466,6 +484,7 @@ def run_crawl(
             spark, docs, robots, cat, run_id, it, n_docs, salts, use_bloom,
             bloom_buckets=bloom_buckets, bloom_m_bits=bloom_m_bits, pol=pol,
         )
+        _write_run_meta(cat, bloom_buckets, bloom_m_bits, it)
         if compact_every and it % compact_every == 0:
             compact_seen(cat, it, bloom_buckets)
     return counts

@@ -29,6 +29,7 @@ from url_pattern_algorithm_spark.operators.sampling import (
     cap_per_host,
     gate_min_host_size,
 )
+from url_pattern_algorithm_spark.session import persist_tracked
 from url_pattern_algorithm_spark.sources.catalog import Catalog
 
 
@@ -68,7 +69,10 @@ def theme_page_plan(
     # materializing it here lets nodes be released before returning.
     nodes = build_trees(capped, min_host_urls=min_host_urls,
                         example_cap=example_cap).persist()
-    alts = leaf_alternations(nodes).persist()
+    # alts outlives this call (it backs the returned `classified` plan), so
+    # it goes through the tracked registry — released when the caller's
+    # next registry query starts instead of leaking for the session
+    alts = persist_tracked(leaf_alternations(nodes))
     alts.count()
     nodes.unpersist()
     if "url_canon" in pages.columns:

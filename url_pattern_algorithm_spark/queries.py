@@ -46,6 +46,10 @@ from url_pattern_algorithm_spark.operators.rewrite import (
     compression_metric,
     learn_rules,
 )
+from url_pattern_algorithm_spark.session import (
+    persist_tracked,
+    release_persisted,
+)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -55,6 +59,12 @@ TABLES = [
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# every query-scoped persist goes through the tracked registry (see
+# session.py): the QUERIES wrapper below releases the previous query's
+# cached frames when the next query starts
+_persist = persist_tracked
 
 
 def h60(col: Column) -> Column:
@@ -566,10 +576,8 @@ def q_theme_page_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (gate counts, gate semi-join, cap counts, cap join, classify);
     # url_canon provided directly — both inputs are already canonical, so
     # the plan skips its normalize pass (idempotence tested in test_canonical)
-    pages = (
-        theme.unionByName(extras)
-        .withColumn("url_canon", F.col("url"))
-        .persist()
+    pages = _persist(
+        theme.unionByName(extras).withColumn("url_canon", F.col("url"))
     )
     # cap bounds the hot host's single-task tree build (PatternJob.java:256's
     # own mechanism); the learned patterns are sample-invariant on this
@@ -597,6 +605,89 @@ SELECT host, page_type, count(*) AS n FROM labeled GROUP BY 1, 2
 """
 
 
+def q_garbage_page_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2-G assembled plan (GarbagePageUrlPatternJob.java:254-342): custom
+    caps -> >=50 gate -> ordered 75/25 split -> per-host tree on train ->
+    precision gate (train match-rate >= 0.5) -> test match counts.
+
+    Corpus: 8 'gsite' hosts of the proven /page/N shape (their leaf
+    alternation covers every URL — the theme_page_classify property), plus
+    2 'junkh' hosts where 60% of URLs are unparseable and sort FIRST
+    ('bad//' < 'http://'), so the ordered split fills train with garbage: the
+    tree learns from the parseable minority, train match-rate = 0.2 < 0.5
+    and the precision gate drops the host. Closed form per surviving host:
+    rate 1.0, test_matches = n_test."""
+    from url_pattern_algorithm_spark.plans.garbage_pages import (
+        garbage_page_plan,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    is_junk_host = ok % 8 < 2
+    host = F.when(
+        is_junk_host,
+        F.concat(F.lit("www.junkh"), (ck % 2).cast("string"), F.lit(".com")),
+    ).otherwise(
+        F.concat(F.lit("www.gsite"), (ck % 8).cast("string"), F.lit(".com")),
+    )
+    url = F.when(
+        is_junk_host & (ok % 10 < 6),
+        F.concat(F.lit("bad//"), ok.cast("string")),
+    ).otherwise(
+        F.concat(F.lit("http://"), host, F.lit("/page/"), ok.cast("string")),
+    )
+    pages = o.select(host.alias("host"), url.alias("url"))
+    report = garbage_page_plan(
+        spark, pages, min_host_urls=50,
+        custom_caps={"www.junkh0.com": 1_000_000},  # the :261-266 override
+        order_col=F.col("url").asc(),
+    )
+    return report.select(
+        "host", "n_train", "train_match_rate", "n_test", "test_matches"
+    )
+
+
+SQL_GARBAGE_PAGE_REPORT = """
+WITH u0 AS (
+  SELECT o_orderkey AS ok, o_custkey AS ck,
+         o_orderkey % 8 < 2 AS is_junk_host
+  FROM orders
+),
+r AS (
+  SELECT CASE WHEN is_junk_host THEN 'www.junkh' || (ck % 2) || '.com'
+              ELSE 'www.gsite' || (ck % 8) || '.com' END AS host,
+         NOT (is_junk_host AND ok % 10 < 6) AS is_good, ok
+  FROM u0
+),
+rows_ AS (
+  SELECT host, is_good,
+         CASE WHEN is_good THEN 'http://' || host || '/page/' || ok
+              ELSE 'bad//' || ok END AS url
+  FROM r
+),
+split AS (
+  SELECT host, url, is_good,
+         row_number() OVER (PARTITION BY host ORDER BY url)
+           <= ceil(count(*) OVER (PARTITION BY host) * 0.75) AS is_train
+  FROM rows_
+),
+rates AS (
+  SELECT host, count(*) AS n_train,
+         avg(CASE WHEN is_good THEN 1.0 ELSE 0.0 END) AS rate
+  FROM split WHERE is_train GROUP BY host
+),
+tests AS (
+  SELECT host, count(*) AS n_test,
+         CAST(sum(CASE WHEN is_good THEN 1 ELSE 0 END) AS BIGINT)
+           AS test_matches
+  FROM split WHERE NOT is_train GROUP BY host
+)
+SELECT host, n_train, round(rate, 6) AS train_match_rate,
+       n_test, test_matches
+FROM rates JOIN tests USING (host) WHERE rate >= 0.5
+"""
+
+
 # ---------------------------------------------------------------------------
 # D. Pattern-tree + rewrite-rule pipelines (UDF recursion — no SQL oracle;
 #    bit-parity is covered by the pure-python oracle tests in tests/)
@@ -614,11 +705,12 @@ def q_pattern_tree_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_leaf_alternations(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = _canon_df(spark, sf_dir).select("host", F.col("url_canon").alias("url"))
     # persist: the star-collapse joins consume the tree-build UDF 3x
-    nodes = build_trees(canon, min_host_urls=50).persist()
+    nodes = _persist(build_trees(canon, min_host_urls=50))
     return leaf_alternations(nodes)
 
 
-def _cluster_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cluster_urls(spark: SparkSession, sf_dir: str,
+                  window: int = 1500, amp: int = 10) -> DataFrame:
     """Duplicate-cluster corpus for rewrite learning (EP1): every page is
     reachable under two URL shapes, each alias carrying a unique junk param —
     the duplicate-page signal the reference mines rewrite rules from.
@@ -626,15 +718,31 @@ def _cluster_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaf nodes of the two shapes overlap the cluster at rate 1.0 (>= the 0.5
     threshold, TreeNode.java:775-778) and a view->doc rewrite rule emerges.
 
-    24 hosts: per-host rule learning is an applyInPandas group per host (the
-    reference's own reducer-per-host distribution), so the corpus must offer
-    enough groups to fill the cores — with 2 hosts the bench ran the whole
-    learn pass at parallelism 2. 24 keeps every per-page count above the >50
-    salient override at sf0.01 (15k orders / 24 hosts ~= 625 urls/host,
-    thinnest page ~62)."""
-    o = _t(spark, sf_dir, "orders")
-    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
-    host = F.concat(F.lit("www.site"), (ck % 24).cast("string"), F.lit(".com"))
+    Scale-pinned (r3): keys = o_orderkey < ``window`` (orderkeys are dense
+    0..N-1 at every sf, so the window is identical at sf0.001/0.01/0.1)
+    amplified x ``amp`` — the corpus is a pure function of (window, amp),
+    byte-identical at every scale factor. That makes the LEARNED rule set a
+    fixed closed form, SQL-statable once for every sf the driver checks
+    (r2's custkey-derived corpus fell into the no-rules regime at sf0.001:
+    per-page counts under the >50 salient override stop the split).
+    bench.py scales ``amp`` with the table size instead, so the benched
+    learn workload still grows with sf.
+
+    24 hosts (contiguous 625-key blocks): per-host rule learning is an
+    applyInPandas group per host (the reference's own reducer-per-host
+    distribution), so the corpus must offer enough groups to fill the
+    cores; 625 urls/host keeps every per-page count above the >50 salient
+    override (thinnest page ~62)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < window)
+    ok = (F.col("o_orderkey") * amp + F.col("j")).alias("ok2")
+    exploded = o.select(
+        F.explode(F.sequence(F.lit(0), F.lit(amp - 1))).alias("j"),
+        "o_orderkey",
+    ).select(ok)
+    ok = F.col("ok2")
+    host = F.concat(F.lit("www.site"),
+                    F.floor(ok / (window * amp // 24)).cast("string"),
+                    F.lit(".com"))
     pages = F.array(*[F.lit(p) for p in
                       ("alpha", "beta", "gamma", "delta", "epsilon")])
     # skewed page + shape distributions: the reference's trivial/salient
@@ -652,9 +760,10 @@ def _cluster_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("http://"), host, F.lit("/view?id="), page,
                  F.lit("&t="), ok.cast("string")),
     )
-    # no .distinct(): every URL embeds the unique o_orderkey (s=/t= param),
-    # so rows are unique by construction — the dedup shuffle would be a no-op
-    return o.select(
+    # no .distinct(): every URL embeds the unique amplified key (s=/t=
+    # param), so rows are unique by construction — the dedup shuffle would
+    # be a no-op
+    return exploded.select(
         host.alias("host"),
         F.concat(host, F.lit("#"), page).alias("cluster_id"),
         url.alias("url"),
@@ -662,14 +771,28 @@ def _cluster_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rewrite_rules_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 learning (Fun.java:519-548) on the scale-pinned cluster corpus.
+
+    SQL-oracled (r3): the corpus is byte-identical at every sf, and on it
+    the learner provably converges to one closed form per host — four
+    emitted (pattern, rule) rows, all carrying the single view->doc rule
+    whose '*' slot is the first distinct ``s`` value of the epsilon/doc
+    node in sorted-URL order (= min VARCHAR order key of the host's
+    epsilon doc pages). The oracle states exactly that; the recursion
+    itself is additionally pinned by the pure-python parity tests."""
     clusters = _cluster_urls(spark, sf_dir)
     return learn_rules(clusters, min_cluster_size=2)
 
 
-def q_rewrite_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_rewrite_compression(spark: SparkSession, sf_dir: str,
+                          window: int = 1500, amp: int = 10) -> DataFrame:
+    """End-to-end EP1: learn -> apply -> compression (Fun.java:519-569).
+    SQL-oracled (r3): with the closed-form learned rules, rule 0 matches
+    every view URL and rule 3 every epsilon doc URL, all rewriting to the
+    host's single epsilon target; only non-epsilon doc URLs pass through."""
     # the cluster corpus feeds BOTH the learn pass (collected inside
     # apply_rules) and the rewrite scan — persist so it derives once
-    clusters = _cluster_urls(spark, sf_dir).persist()
+    clusters = _persist(_cluster_urls(spark, sf_dir, window, amp))
     rules = learn_rules(clusters, min_cluster_size=2)
     rewritten = apply_rules(spark, clusters.select("host", "url"), rules)
     m = compression_metric(rewritten)
@@ -701,16 +824,69 @@ def q_rewrite_apply_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_REWRITE_APPLY_FIXED = """
-WITH c AS (
-  SELECT o_orderkey AS ok,
-         'www.site' || (o_custkey % 24) || '.com' AS host,
-         ['alpha','beta','gamma','delta','epsilon'][
-           least((o_orderkey // 10) % 10, 4) + 1] AS page,
-         o_orderkey % 10 < 6 AS is_doc
-  FROM orders
+# The scale-pinned cluster corpus (see _cluster_urls): dense orderkeys
+# < 1500 (present at every sf) x10 amplification, host = 625-key block.
+CLUSTER_SQL = """
+WITH k AS (
+  SELECT o_orderkey * 10 + j AS ok
+  FROM orders, range(0, 10) r(j)
+  WHERE o_orderkey < 1500
 ),
-rw AS (
+c AS (
+  SELECT ok,
+         'www.site' || (ok // 625) || '.com' AS host,
+         ['alpha','beta','gamma','delta','epsilon'][
+           least((ok // 10) % 10, 4) + 1] AS page,
+         ok % 10 < 6 AS is_doc
+  FROM k
+)
+"""
+
+# min-VARCHAR epsilon/doc order key per host: the value the learner's '*'
+# slot captures (first distinct s value of the epsilon doc node, whose URL
+# list is in sorted-URL order — string order of the s suffix).
+_SSTAR_SQL = """
+, sstar AS (
+  SELECT host, min(CAST(ok AS VARCHAR)) AS s_star
+  FROM c WHERE page = 'epsilon' AND is_doc GROUP BY host
+)
+"""
+
+SQL_REWRITE_RULES_LEARN = CLUSTER_SQL + _SSTAR_SQL + """
+, shapes(rule_id, tail) AS (VALUES
+  (0, 'path1:view/id:.*/t:.*/'),
+  (1, 'path1:view/id:.*/t:\\d.*/'),
+  (2, 'path1:view/id:epsilon/t:.*/'),
+  (3, 'path1:doc/path2:epsilon/s:.*/'))
+SELECT host, CAST(rule_id AS INTEGER) AS rule_id,
+       'path0:' || host || '/' || tail AS pattern,
+       'path0:#' || host || '/path1:#doc/path2:#epsilon/s:*' || s_star || '/'
+         AS rule
+FROM sstar CROSS JOIN shapes
+"""
+
+SQL_REWRITE_COMPRESSION = CLUSTER_SQL + _SSTAR_SQL + """
+, rw AS (
+  SELECT c.host,
+         CASE WHEN is_doc
+              THEN 'http://' || c.host || '/doc/' || page || '?s=' || ok
+              ELSE 'http://' || c.host || '/view?id=' || page || '&t=' || ok
+         END AS url,
+         CASE WHEN is_doc AND page <> 'epsilon'
+              THEN 'http://' || c.host || '/doc/' || page || '?s=' || ok
+              ELSE 'http://' || c.host || '/doc/epsilon?s=' || s.s_star
+         END AS rewritten
+  FROM c JOIN sstar s ON s.host = c.host
+)
+SELECT host, count(DISTINCT url) AS n_urls,
+       count(DISTINCT rewritten) AS n_rewritten,
+       round(count(DISTINCT rewritten) * 1.0 / count(DISTINCT url), 6)
+         AS compression_ratio
+FROM rw GROUP BY host
+"""
+
+SQL_REWRITE_APPLY_FIXED = CLUSTER_SQL + """
+, rw AS (
   SELECT host,
          CASE WHEN is_doc
               THEN 'http://' || host || '/doc/' || page || '?s=' || ok
@@ -1101,7 +1277,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_centroids,
     )
 
-    emb = _t(spark, sf_dir, "embeddings").persist()
+    emb = _persist(_t(spark, sf_dir, "embeddings"))
     cents = kmeans_centroids(emb, k=8, iters=2, dim=64)
     qs = emb.filter(F.col("vec_id") < 5)
     out = ann_ivf_topk(emb, qs, cents, k=10, nprobe=2)
@@ -1140,7 +1316,7 @@ assign_{n} AS (
   ) WHERE rn = 1
 ),
 cent{n + 1}p AS (
-  SELECT cp.cluster, cp.pos, coalesce(m.mean, cp.val) AS val
+  SELECT cp.cluster, cp.pos, coalesce(round(m.mean, 9), cp.val) AS val
   FROM cent{n}p cp LEFT JOIN (
     SELECT a.cluster, i - 1 AS pos, avg(vv.v[i]) AS mean
     FROM assign_{n} a JOIN vecs vv USING (vec_id), range(1, {d1}) r(i)
@@ -1285,10 +1461,77 @@ from url_pattern_algorithm_spark.operators.textstats import (  # noqa: E402
 
 
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trigram-profile language ID (pandas UDF — no SQL oracle; real
-    multilingual behavior is pinned by golden tests in tests/)."""
+    """Trigram-profile language ID (vectorized pandas UDF).
+
+    SQL-oracled (r3): the language profiles are fixed literals, so the
+    whole scoring chain is restatable — doc trigram counts (with
+    Counter.most_common's stable tie-break: count DESC, first appearance
+    ASC, top 200), cosine against each profile, argmax with strict-> /
+    alphabetical-first semantics, 'und' when no gram overlaps."""
     d = _t(spark, sf_dir, "documents")
     return language_id(d).select("doc_id", "lang", "lang_pred", "lang_score")
+
+
+def _lang_id_sql(top: int = 200) -> str:
+    from url_pattern_algorithm_spark.operators.textstats import (
+        _LANGS,
+        _PROFILES,
+    )
+
+    rows = ",\n  ".join(
+        f"('{lang}', '{g}', {w!r})"
+        for lang in _LANGS
+        for g, w in _PROFILES[lang].items()
+    )
+    return f"""
+WITH prof(lang, g, w) AS (VALUES
+  {rows}),
+pn AS (SELECT lang, sqrt(sum(w * w)) AS pn FROM prof GROUP BY lang),
+t AS (SELECT doc_id, lang, '  ' || lower(text) || '  ' AS s,
+             length(text) >= 6 AS ok
+      FROM documents),
+grams AS (
+  SELECT doc_id, substr(s, CAST(i AS INTEGER), 3) AS g,
+         count(*) AS c, min(i) AS fi
+  FROM (SELECT doc_id, s, unnest(range(1, length(s) - 1)) AS i
+        FROM t WHERE ok)
+  GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, sum(c) AS total FROM grams GROUP BY 1),
+top AS (
+  SELECT doc_id, g, c FROM (
+    SELECT doc_id, g, c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, fi ASC) AS rn
+    FROM grams) WHERE rn <= {top}
+),
+v AS (SELECT tp.doc_id, g, c * 1.0 / tt.total AS v
+      FROM top tp JOIN tot tt ON tt.doc_id = tp.doc_id),
+dn AS (SELECT doc_id, sqrt(sum(v * v)) AS dn FROM v GROUP BY 1),
+sc AS (
+  SELECT v.doc_id, p.lang AS cand, sum(v.v * p.w) AS num
+  FROM v JOIN prof p ON p.g = v.g
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, cand, score FROM (
+    SELECT sc.doc_id, cand, num / (d.dn * p2.pn) AS score,
+           row_number() OVER (PARTITION BY sc.doc_id
+                              ORDER BY num / (d.dn * p2.pn) DESC,
+                                       cand ASC) AS rn
+    FROM sc JOIN dn d ON d.doc_id = sc.doc_id
+    JOIN pn p2 ON p2.lang = sc.cand
+  ) WHERE rn = 1
+)
+SELECT t.doc_id, t.lang,
+       CASE WHEN b.score > 0 THEN b.cand ELSE 'und' END AS lang_pred,
+       round(coalesce(CASE WHEN b.score > 0 THEN b.score END, 0.0), 6)
+         AS lang_score
+FROM t LEFT JOIN best b ON b.doc_id = t.doc_id
+"""
+
+
+SQL_DOC_LANG_ID = _lang_id_sql()
 
 
 def q_doc_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1613,6 +1856,19 @@ FROM events GROUP BY 1, 2
 # Registry
 # ---------------------------------------------------------------------------
 
+def _with_release(fn):
+    """Release the previous query's tracked persists before running —
+    bounds cached-block lifetime to one query in many-query sessions."""
+    import functools
+
+    @functools.wraps(fn)
+    def run(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+        release_persisted()
+        return fn(spark, sf_dir, **kw)
+
+    return run
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_normalize": q_url_normalize,
     "frontier_schedule": q_frontier_schedule,
@@ -1631,6 +1887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pattern_sanity_filter": q_pattern_sanity_filter,
     "pattern_match_classify": q_pattern_match_classify,
     "theme_page_classify": q_theme_page_classify,
+    "garbage_page_report": q_garbage_page_report,
     "pattern_tree_nodes": q_pattern_tree_nodes,
     "leaf_alternations": q_leaf_alternations,
     "rewrite_rules_learn": q_rewrite_rules_learn,
@@ -1657,6 +1914,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "node_pair_overlap": q_node_pair_overlap,
     "key_mapping_argmax": q_key_mapping_argmax,
 }
+QUERIES = {name: _with_release(fn) for name, fn in QUERIES.items()}
 
 ORACLES: dict[str, str] = {
     "url_normalize": SQL_URL_NORMALIZE,
@@ -1676,6 +1934,9 @@ ORACLES: dict[str, str] = {
     "pattern_sanity_filter": SQL_PATTERN_SANITY_FILTER,
     "pattern_match_classify": SQL_PATTERN_MATCH_CLASSIFY,
     "theme_page_classify": SQL_THEME_PAGE_CLASSIFY,
+    "garbage_page_report": SQL_GARBAGE_PAGE_REPORT,
+    "rewrite_rules_learn": SQL_REWRITE_RULES_LEARN,
+    "rewrite_compression": SQL_REWRITE_COMPRESSION,
     "rewrite_apply_fixed": SQL_REWRITE_APPLY_FIXED,
     "dedup_exact": SQL_DEDUP_EXACT,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
@@ -1690,13 +1951,13 @@ ORACLES: dict[str, str] = {
     "ann_multiprobe": SQL_ANN_MULTIPROBE,
     "ann_ivf": SQL_ANN_IVF,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
+    "doc_lang_id": SQL_DOC_LANG_ID,
     "doc_token_bpeish": SQL_DOC_TOKEN_BPEISH,
     "spans_extract_links": SQL_SPANS_EXTRACT_LINKS,
     "spans_media_stats": SQL_SPANS_MEDIA_STATS,
     "media_features": SQL_MEDIA_FEATURES,
     "node_pair_overlap": SQL_NODE_PAIR_OVERLAP,
     "key_mapping_argmax": SQL_KEY_MAPPING_ARGMAX,
-    # pattern_tree_nodes / leaf_alternations / rewrite_* / doc_lang_id:
-    # UDF-only logic, no SQL equivalent — rows-only check; python-oracle
-    # parity lives in tests/.
+    # pattern_tree_nodes / leaf_alternations: UDF-recursion output with no
+    # SQL equivalent — rows-only check; python-oracle parity lives in tests/.
 }

@@ -42,3 +42,29 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# ---------------------------------------------------------------------------
+# Persisted-frame registry. Bench/correctness sessions run dozens of queries
+# on ONE SparkSession, and a query-scoped persist that outlives its terminal
+# action leaks cached blocks for the session lifetime (r2 ADVICE). Queries
+# persist through persist_tracked(); the query registry releases the
+# previous query's frames when the next query starts (the returned DataFrame
+# has been consumed by then; recompute stays correct regardless — all
+# kernels are deterministic).
+# ---------------------------------------------------------------------------
+
+_PERSISTED: list = []
+
+
+def persist_tracked(df):
+    _PERSISTED.append(df.persist())
+    return df
+
+
+def release_persisted() -> None:
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass

@@ -33,12 +33,24 @@ class Catalog:
         return os.path.join(self.root, name)
 
     def exists(self, name: str) -> bool:
+        self._recover(name)
         p = self.path(name)
         return os.path.isdir(p) and any(
             f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
         )
 
+    def _recover(self, name: str) -> None:
+        """Heal a crash inside :meth:`rewrite`'s swap window: between
+        rename(final, old) and rename(tmp, final) the live data exists only
+        under ``name__compact_old`` — restore it under ``name``. Idempotent
+        and a no-op in every healthy state."""
+        final = self.path(name)
+        old = self.path(f"{name}__compact_old")
+        if not os.path.isdir(final) and os.path.isdir(old):
+            os.rename(old, final)
+
     def read(self, name: str) -> DataFrame:
+        self._recover(name)
         return self.spark.read.format(_FORMAT).load(self.path(name))
 
     def drop(self, name: str) -> None:
@@ -78,12 +90,14 @@ class Catalog:
                 partition_by: list[str] | None = None) -> None:
         """Atomically rewrite a table as ``transform(read(name))`` through a
         temp dir + rename-aside swap (Iceberg's rewrite_data_files shape).
-        Crash-safe: the live table is renamed aside, never deleted before the
-        rewritten copy is in place — a crash leaves either the old or the new
-        table readable under ``name`` (plus at worst a stale side dir)."""
+        Crash-safe: the live table is renamed aside, never deleted before
+        the rewritten copy is in place. A crash between the two renames
+        leaves the data only under ``name__compact_old``; :meth:`_recover`
+        (run by every read and at rewrite start) restores it, so either the
+        old or the new table is always reachable under ``name``."""
         import shutil
 
-        df = transform(self.read(name))
+        df = transform(self.read(name))  # read() runs _recover first
         tmp = f"{name}__compact_tmp"
         try:
             self.write(df, tmp, partition_by=partition_by)
