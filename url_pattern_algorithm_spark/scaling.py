@@ -1,0 +1,78 @@
+"""Cardinality-derived parameter defaults (r2 verdict item 10).
+
+The sandbox constants — 64 Bloom buckets, 8 LSH planes, 16 pending
+host-hash buckets — are right for the 10^5..10^6-key test corpora and
+wrong at the 10^10-key north_rule scale (the operator docstrings promise
+~4096 Bloom buckets there). These helpers derive the parameters from an
+input-cardinality ESTIMATE: a known universe size, a catalog row count, a
+planner statistic — never a mandatory extra Spark action. Every result is
+a power of two (the bucket arithmetic uses masks/pmod) and clamped to a
+sane range.
+
+Documented targets (pinned by tests/test_scaling.py):
+- ``derive_bloom_buckets(10**10)`` == 4096 — ~2.4M keys per bucket, so
+  each cogroup task holds one ~4 MiB bitmap slice
+  (operators/frontier.py:49-62,132-144);
+- ``derive_bloom_m_bits(10**10, 4096)`` == 2**25 — ~13 bits/key in the
+  bucket (fp well under 1% with the 5-hash scheme);
+- ``derive_n_planes(10**9)`` == 18 — LSH bucket occupancy ~4096 rows, so
+  a bucket self-join stays ~10^7 pairs, not quadratic in the corpus
+  (operators/similarity.py lsh_buckets);
+- ``derive_pending_hbuckets(10**10)`` == 8192 — ~1.2M pending rows per
+  partition file (plans/crawl.py PENDING_HBUCKETS);
+- small inputs clamp DOWN to the sandbox constants, so deriving is always
+  safe: derive_bloom_buckets(10**6) == 64, derive_n_planes(500) == 8.
+"""
+
+from __future__ import annotations
+
+import math
+
+
+def _pow2_round(x: float, lo: int, hi: int) -> int:
+    """Nearest power of two to ``x``, clamped to [lo, hi] (both pow2)."""
+    if x <= lo:
+        return lo
+    return min(hi, 1 << round(math.log2(x)))
+
+
+def _pow2_ceil(x: float, lo: int, hi: int) -> int:
+    if x <= lo:
+        return lo
+    return min(hi, 1 << math.ceil(math.log2(x)))
+
+
+def derive_bloom_buckets(n_keys: int,
+                         keys_per_bucket: int = 2_500_000) -> int:
+    """Bloom bucket count for an expected ``n_keys`` seen-set size: one
+    bucket per ~2.5M keys, so a bucket's bitmap (see derive_bloom_m_bits)
+    stays a few MiB — small enough for one cogroup task, large enough
+    that 10^10 keys need only thousands of tasks."""
+    return _pow2_round(n_keys / keys_per_bucket, 64, 65536)
+
+
+def derive_bloom_m_bits(n_keys: int, n_buckets: int,
+                        bits_per_key: int = 10) -> int:
+    """Fixed per-bucket bitmap size for the incremental OR-merge mode:
+    next power of two over ``bits_per_key`` x the expected keys per
+    bucket (~1% fp at 10 bits/key with the 5-hash scheme)."""
+    per_bucket = max(n_keys / max(n_buckets, 1), 1.0)
+    return _pow2_ceil(per_bucket * bits_per_key, 1 << 17, 1 << 28)
+
+
+def derive_n_planes(n_rows: int, target_bucket: int = 4096) -> int:
+    """LSH hyperplane count targeting ~``target_bucket`` rows per bucket:
+    ceil(log2(n / target)), clamped to [8, 28]. Complements (does not
+    replace) the hot-bucket guard — this sizes the AVERAGE occupancy;
+    the guard handles the skewed tail."""
+    if n_rows <= target_bucket:
+        return 8
+    return max(8, min(28, math.ceil(math.log2(n_rows / target_bucket))))
+
+
+def derive_pending_hbuckets(n_pending: int,
+                            rows_per_bucket: int = 1_200_000) -> int:
+    """Host-hash partition count for pending-frontier snapshots: one
+    partition file per ~1.2M rows, so partitioned writes stay
+    O(hbuckets) files and each resume read-task gets a full slice."""
+    return _pow2_round(n_pending / rows_per_bucket, 16, 32768)
