@@ -19,7 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT_QUERIES = [
     "url_normalize", "frontier_schedule", "url_seen_antijoin",
-    "kv_entropy", "theme_page_classify", "rewrite_apply_fixed",
+    "kv_entropy", "theme_page_classify", "garbage_page_report",
+    "rewrite_apply_fixed", "rewrite_compression",
     "dedup_minhash", "ann_multiprobe", "ann_ivf", "dedup_embedding_cosine",
     "doc_quality",
 ]

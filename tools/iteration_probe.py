@@ -42,7 +42,15 @@ from url_pattern_algorithm_spark.sources.synthetic import (  # noqa: E402
     robots_df,
 )
 
-N_DOCS, N_HOSTS, SEEDS_PER_HOST, BUDGET = 100_000, 64, 3000, 512.0
+# overridable via env: the default (32k scheduled/iter) probes FLATNESS;
+# the scaling comparison needs the compute-dominated big-batch regime
+# (SPARK_GRAFT_PROBE_BUDGET=4096 -> 262k scheduled/iter), because per-iter
+# fixed stage latency does not scale with cores and at small batches it
+# dominates the 8-vs-32 ratio
+N_DOCS = int(os.environ.get("SPARK_GRAFT_PROBE_DOCS", "100000"))
+N_HOSTS = int(os.environ.get("SPARK_GRAFT_PROBE_HOSTS", "64"))
+SEEDS_PER_HOST = int(os.environ.get("SPARK_GRAFT_PROBE_SEEDS", "3000"))
+BUDGET = float(os.environ.get("SPARK_GRAFT_PROBE_BUDGET", "512"))
 BLOOM_M = 1 << 20
 
 
