@@ -6,8 +6,14 @@ Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 
 The headline metric is frontier URLs scheduled per second over the full
 normalize -> seen-filter -> politeness -> priority -> checkpoint pipeline
-(BASELINE.json target). Set ``SPARK_GRAFT_SCALING=1`` to also run the
-two-parallelism scaling probe (local[8] vs local[32]) and report efficiency.
+(BASELINE.json target). Set ``SPARK_GRAFT_SCALING=1`` to also run a quick
+two-parallelism probe (local[8] vs local[32]) — NB its legs are
+SEQUENTIAL, so on this co-tenant box the number is advisory only; the
+authoritative scaling evidence is the interleaved probes
+(tools/scaling_probe.py, tools/iteration_probe.py) read against same-day
+ceilings (tools/ceiling_probe.py, tools/shuffle_probe.py) — see
+BENCH/BASELINE.md §15-17. The ``ab_interleaved`` section at the end IS
+same-session and is the valid cross-round per-query comparison.
 """
 
 from __future__ import annotations
