@@ -323,3 +323,19 @@ def test_robots_longest_match_deterministic(spark):
     assert len(runs[0]) == 200  # duplicates preserved, all carved out
     # and the plan has no window: the decision is a scalar expression
     assert "Window" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_build_trees_sort_urls_order_invariant(spark):
+    # sort_urls=True pins the recursion's first-encounter order to the URL
+    # sort, so the node table is a pure function of the URL SET: two
+    # deliveries of the same set in different row orders (and different
+    # partitionings) must produce identical node tables — including node
+    # ids and sibling order, which ARE order-sensitive under file order.
+    rows = fixture_urls()
+    fwd = spark.createDataFrame(rows, "host string, url string")
+    rev = spark.createDataFrame(rows[::-1], "host string, url string").repartition(7)
+    cols = ["host", "node_id", "parent_id", "depth", "partition_key",
+            "partition_value", "pattern", "url_count", "is_leaf"]
+    a = sorted(map(tuple, build_trees(fwd, sort_urls=True).select(cols).collect()))
+    b = sorted(map(tuple, build_trees(rev, sort_urls=True).select(cols).collect()))
+    assert a == b and len(a) > 0

@@ -33,7 +33,7 @@ MEMBERSHIP_SCHEMA = "host string, url string, node_id int"
 
 
 def build_trees(urls: DataFrame, min_host_urls: int = 0,
-                example_cap: int = 300) -> DataFrame:
+                example_cap: int = 300, sort_urls: bool = False) -> DataFrame:
     """(host, url) -> flattened per-host pattern-tree node table.
 
     ``min_host_urls`` is the reducer gate (100000 in PatternJob.java:263-265,
@@ -41,11 +41,22 @@ def build_trees(urls: DataFrame, min_host_urls: int = 0,
     (cheap: the group is already materialized) and also worth pre-filtering
     with gate_min_host_size when most hosts are tiny, so they never cross
     the Python boundary.
+
+    ``sort_urls=True`` pins the recursion's input to sorted-URL order: node
+    ids, sibling order, and tie-broken split choices all follow first-
+    encounter order (Fun.java consumes file order), and the row order a
+    shuffle delivers to applyInPandas is not stable across partitionings or
+    task retries. Sorted input makes the node table a pure function of the
+    URL SET — required by the fixed-corpus driver oracles, recommended
+    anywhere the output feeds a persisted artifact.
     """
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         host = pdf["host"].iloc[0]
-        parsed = [Url.parse(u) for u in pdf["url"].drop_duplicates()]
+        col = pdf["url"].drop_duplicates()
+        if sort_urls:
+            col = col.sort_values(kind="mergesort")
+        parsed = [Url.parse(u) for u in col]
         parsed = [p for p in parsed if p is not None]
         if len(parsed) < min_host_urls or not parsed:
             return pd.DataFrame(
@@ -61,13 +72,18 @@ def build_trees(urls: DataFrame, min_host_urls: int = 0,
     return urls.groupBy("host").applyInPandas(build, TREE_SCHEMA)
 
 
-def build_membership(urls: DataFrame, min_host_urls: int = 0) -> DataFrame:
+def build_membership(urls: DataFrame, min_host_urls: int = 0,
+                     sort_urls: bool = False) -> DataFrame:
     """(host, url) -> (host, url, node_id) membership rows — the relational
-    replacement for belongToNodeList (Fun.java:323-341)."""
+    replacement for belongToNodeList (Fun.java:323-341). ``sort_urls`` pins
+    input order exactly as in build_trees."""
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         host = pdf["host"].iloc[0]
-        parsed = [Url.parse(u) for u in pdf["url"].drop_duplicates()]
+        col = pdf["url"].drop_duplicates()
+        if sort_urls:
+            col = col.sort_values(kind="mergesort")
+        parsed = [Url.parse(u) for u in col]
         parsed = [p for p in parsed if p is not None]
         if len(parsed) < min_host_urls or not parsed:
             return pd.DataFrame(columns=["host", "url", "node_id"])

@@ -38,6 +38,7 @@ from url_pattern_algorithm_spark.operators.frontier import (
     seen_filter,
 )
 from url_pattern_algorithm_spark.operators.pattern_tree import (
+    build_membership,
     build_trees,
     leaf_alternations,
 )
@@ -709,6 +710,53 @@ def q_leaf_alternations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leaf_alternations(nodes)
 
 
+def q_pattern_tree_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tree RECURSION (Fun.buildPatternTree) under the driver oracle
+    (r3): on the scale-pinned cluster corpus every host's tree provably
+    converges to the same 9-node shape — root -> '/?'-free key split on
+    path1 (view|doc) -> constant-fold child (t:\\d* / s:\\d*) -> id/path2
+    split into a '*' bucket and the single salient value 'epsilon' (the
+    6/10-mass page; every other page folds trivial under the >50 salient
+    override). Structure, keys, depths and output patterns are closed-form;
+    ``url_count`` stays corpus-derived, so the oracle checks the recursion's
+    shape AND its data-driven membership counts. ``sort_urls=True`` pins
+    first-encounter order (the recursion's only order sensitivity) to the
+    URL sort, making the table a pure function of the corpus SET.
+
+    The sf-table twin (``pattern_tree_nodes``) stays rows-only: its corpus
+    varies with sf, so its parity lives in the pure-python oracle tests.
+    """
+    corpus = _cluster_urls(spark, sf_dir).select("host", "url")
+    nodes = build_trees(corpus, min_host_urls=50, sort_urls=True)
+    return nodes.select(
+        "host", "node_id", "parent_id", "depth", "partition_key",
+        "partition_value", "pattern_output", "url_count", "is_leaf",
+    )
+
+
+def q_url_membership_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-in-node membership (belongToNodeList, Fun.java:323-341) under the
+    driver oracle: on the fixed tree every URL's membership set is exactly
+    its root-to-leaf path — view URLs hit {0,1,2,3|4}, doc URLs {0,5,6,7|8},
+    with the leaf picked by page=='epsilon'. 4 closed-form rows per URL."""
+    corpus = _cluster_urls(spark, sf_dir).select("host", "url")
+    return build_membership(corpus, min_host_urls=50, sort_urls=True)
+
+
+def q_leaf_alternations_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-collapse leaf selection + BFS alternation assembly
+    (Main.java:242-287) under the driver oracle, on the same fixed tree as
+    ``pattern_tree_fixed``: nodes 2 and 6 carry childHasStarFlag with
+    all-leaf children, so only each split's FIRST child (min node_id — the
+    '*' bucket) survives the collapse; the alternation is their escaped
+    output patterns in BFS order (view branch, then doc branch). The
+    escaped patterns are closed-form per host — including the reference's
+    char-wise '..*' escape quirk the relational escape replicates."""
+    corpus = _cluster_urls(spark, sf_dir).select("host", "url")
+    nodes = _persist(build_trees(corpus, min_host_urls=50, sort_urls=True))
+    return leaf_alternations(nodes)
+
+
 def _cluster_urls(spark: SparkSession, sf_dir: str,
                   window: int = 1500, amp: int = 10) -> DataFrame:
     """Duplicate-cluster corpus for rewrite learning (EP1): every page is
@@ -903,6 +951,86 @@ SELECT host, count(DISTINCT url) AS n_urls,
        round(count(DISTINCT rewritten) * 1.0 / count(DISTINCT url), 6)
          AS compression_ratio
 FROM rw GROUP BY host
+"""
+
+# Fixed-corpus tree oracle: the 9-node closed-form structure as a literal
+# template (one row per node), CROSS JOINed to the hosts, with url_count
+# computed from the corpus — structure from the closed form, membership
+# counts from the data.
+SQL_PATTERN_TREE_FIXED = CLUSTER_SQL + r"""
+, agg AS (
+  SELECT host,
+         count(*) AS n_all,
+         sum(CASE WHEN NOT is_doc THEN 1 ELSE 0 END) AS n_view,
+         sum(CASE WHEN NOT is_doc AND page <> 'epsilon' THEN 1 ELSE 0 END)
+           AS n_view_star,
+         sum(CASE WHEN NOT is_doc AND page = 'epsilon' THEN 1 ELSE 0 END)
+           AS n_view_eps,
+         sum(CASE WHEN is_doc THEN 1 ELSE 0 END) AS n_doc,
+         sum(CASE WHEN is_doc AND page <> 'epsilon' THEN 1 ELSE 0 END)
+           AS n_doc_star,
+         sum(CASE WHEN is_doc AND page = 'epsilon' THEN 1 ELSE 0 END)
+           AS n_doc_eps
+  FROM c GROUP BY host
+),
+tmpl(node_id, parent_id, depth, partition_key, partition_value, out_tmpl,
+     cnt, is_leaf) AS (VALUES
+  (0, NULL, 0, NULL,    NULL,      '/{h}/.*',                    'all',       FALSE),
+  (1, 0,    1, 'path1', 'view',    '/{h}/view\?id=.*&t=\d*',     'view',      FALSE),
+  (2, 1,    2, 't',     '\d*',     '/{h}/view\?id=.*&t=\d*',     'view',      FALSE),
+  (3, 2,    3, 'id',    '*',       '/{h}/view\?id=.*&t=\d*',     'view_star', TRUE),
+  (4, 2,    3, 'id',    'epsilon', '/{h}/view\?id=epsilon&t=\d*','view_eps',  TRUE),
+  (5, 0,    1, 'path1', 'doc',     '/{h}/doc/.*\?s=\d*',         'doc',       FALSE),
+  (6, 5,    2, 's',     '\d*',     '/{h}/doc/.*\?s=\d*',         'doc',       FALSE),
+  (7, 6,    3, 'path2', '*',       '/{h}/doc/.*\?s=\d*',         'doc_star',  TRUE),
+  (8, 6,    3, 'path2', 'epsilon', '/{h}/doc/epsilon\?s=\d*',    'doc_eps',   TRUE))
+SELECT agg.host,
+       CAST(node_id AS INTEGER) AS node_id,
+       CAST(parent_id AS INTEGER) AS parent_id,
+       CAST(depth AS INTEGER) AS depth,
+       partition_key, partition_value,
+       replace(out_tmpl, '{h}', agg.host) AS pattern_output,
+       CAST(CASE cnt WHEN 'all' THEN n_all WHEN 'view' THEN n_view
+                     WHEN 'view_star' THEN n_view_star
+                     WHEN 'view_eps' THEN n_view_eps
+                     WHEN 'doc' THEN n_doc WHEN 'doc_star' THEN n_doc_star
+                     ELSE n_doc_eps END AS BIGINT) AS url_count,
+       is_leaf
+FROM agg CROSS JOIN tmpl
+"""
+
+# Membership on the fixed tree: each URL belongs to exactly its
+# root-to-leaf path, so the index is a closed-form 4-row unnest per URL.
+SQL_URL_MEMBERSHIP_FIXED = CLUSTER_SQL + """
+, u AS (
+  SELECT host,
+         CASE WHEN is_doc
+              THEN 'http://' || host || '/doc/' || page || '?s=' || ok
+              ELSE 'http://' || host || '/view?id=' || page || '&t=' || ok
+         END AS url,
+         is_doc, page = 'epsilon' AS eps
+  FROM c
+)
+SELECT host, url,
+       CAST(unnest(CASE
+         WHEN NOT is_doc AND NOT eps THEN [0, 1, 2, 3]
+         WHEN NOT is_doc AND eps     THEN [0, 1, 2, 4]
+         WHEN is_doc AND NOT eps     THEN [0, 5, 6, 7]
+         ELSE                             [0, 5, 6, 8]
+       END) AS INTEGER) AS node_id
+FROM u
+"""
+
+# Star-collapse + BFS alternation on the fixed tree: each of the two splits
+# keeps only its '*' bucket (first child); escape replaces every literal '*'
+# with '.*', so the already-starred '.*' and '\d*' become '..*' and '\d.*'
+# (the reference's char-wise escape quirk).
+SQL_LEAF_ALTERNATIONS_FIXED = CLUSTER_SQL + r"""
+SELECT host,
+       '/' || host || '/view\?id=..*&t=\d.*' || '|'
+           || '/' || host || '/doc/..*\?s=\d.*' AS patterns,
+       CAST(2 AS BIGINT) AS n_leaves
+FROM (SELECT DISTINCT host FROM c) h
 """
 
 
@@ -1890,6 +2018,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "garbage_page_report": q_garbage_page_report,
     "pattern_tree_nodes": q_pattern_tree_nodes,
     "leaf_alternations": q_leaf_alternations,
+    "pattern_tree_fixed": q_pattern_tree_fixed,
+    "url_membership_fixed": q_url_membership_fixed,
+    "leaf_alternations_fixed": q_leaf_alternations_fixed,
     "rewrite_rules_learn": q_rewrite_rules_learn,
     "rewrite_compression": q_rewrite_compression,
     "rewrite_apply_fixed": q_rewrite_apply_fixed,
@@ -1935,6 +2066,9 @@ ORACLES: dict[str, str] = {
     "pattern_match_classify": SQL_PATTERN_MATCH_CLASSIFY,
     "theme_page_classify": SQL_THEME_PAGE_CLASSIFY,
     "garbage_page_report": SQL_GARBAGE_PAGE_REPORT,
+    "pattern_tree_fixed": SQL_PATTERN_TREE_FIXED,
+    "url_membership_fixed": SQL_URL_MEMBERSHIP_FIXED,
+    "leaf_alternations_fixed": SQL_LEAF_ALTERNATIONS_FIXED,
     "rewrite_rules_learn": SQL_REWRITE_RULES_LEARN,
     "rewrite_compression": SQL_REWRITE_COMPRESSION,
     "rewrite_apply_fixed": SQL_REWRITE_APPLY_FIXED,
