@@ -141,23 +141,46 @@ def run_crawl_bench(spark, sf_dir: str, iterations: int = 3):
     return scheduled, dt
 
 
+_BY_VALUE_MODULES: list = []
+
+
 def _load_queries(pkg_root: str):
     """(Re)import the package's query registry from ``pkg_root``, purging
     any previously-imported version — the interleaved A/B swaps code
     versions inside ONE SparkSession (this box's co-tenant noise is up to
     2x run-to-run, so only same-session interleaved comparisons are
-    meaningful; cross-day raw numbers are not)."""
+    meaningful; cross-day raw numbers are not).
+
+    Every package module is registered for cloudpickle BY-VALUE
+    serialization: Python workers resolve by-reference pickles through
+    their own PYTHONPATH (always HEAD), so without this a ref leg would
+    run ref driver plans over HEAD UDF kernels — a chimera that hides
+    worker-side kernel changes from the A/B."""
     import importlib
 
-    for m in [k for k in sys.modules
-              if k.startswith("url_pattern_algorithm_spark")]:
-        del sys.modules[m]
+    from pyspark import cloudpickle
+
+    global _BY_VALUE_MODULES
+    for m in _BY_VALUE_MODULES:
+        try:
+            cloudpickle.unregister_pickle_by_value(m)
+        except Exception:
+            pass
+    _BY_VALUE_MODULES = []
+    for name in [k for k in sys.modules
+                 if k.startswith("url_pattern_algorithm_spark")]:
+        del sys.modules[name]
     sys.path.insert(0, pkg_root)
     try:
         importlib.invalidate_caches()
-        return importlib.import_module(
+        queries = importlib.import_module(
             "url_pattern_algorithm_spark.queries"
         ).QUERIES
+        for name, mod in list(sys.modules.items()):
+            if name.startswith("url_pattern_algorithm_spark") and mod is not None:
+                cloudpickle.register_pickle_by_value(mod)
+                _BY_VALUE_MODULES.append(mod)
+        return queries
     finally:
         sys.path.remove(pkg_root)
 
@@ -196,6 +219,17 @@ def run_ab_queries(spark, sf_dir: str, ref: str, reps: int = 2,
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         _load_queries(repo)  # leave HEAD imported for later callers
+        # ... but drop the by-value registration: outside the A/B, workers
+        # resolving HEAD through their PYTHONPATH is correct and cheaper
+        from pyspark import cloudpickle
+
+        global _BY_VALUE_MODULES
+        for m in _BY_VALUE_MODULES:
+            try:
+                cloudpickle.unregister_pickle_by_value(m)
+            except Exception:
+                pass
+        _BY_VALUE_MODULES = []
     out = {}
     for name, legs in best.items():
         if legs["ref"] == float("inf") or legs["head"] == float("inf"):

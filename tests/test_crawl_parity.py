@@ -225,3 +225,27 @@ def test_resume_beyond_fresh_runs_end_refused(crawl_run, tmp_path):
     counts2 = run_crawl(spark, docs, seeds, robots, root, N_DOCS,
                         iterations=ITERS, resume_from=2, run_id="ok")
     assert counts2[ITERS] == counts[ITERS]
+
+
+def test_fresh_run_wipes_orphaned_compact_old(crawl_run, tmp_path):
+    # a crash inside Catalog.rewrite's swap window leaves the live seen
+    # table only under seen__compact_old; a fresh run into that root must
+    # wipe it too, or Catalog._recover would resurrect the PRIOR run's
+    # seen set as live state mid-run (r3 review finding)
+    import os
+    import shutil
+
+    spark, ckpt, counts, oracle, docs, seeds, robots = crawl_run
+    dirty = str(tmp_path / "dirty_swap")
+    run_crawl(spark, docs, seeds, robots, dirty, N_DOCS, iterations=ITERS)
+    # simulate the mid-swap crash: live table renamed aside, final missing
+    os.rename(os.path.join(dirty, "seen"),
+              os.path.join(dirty, "seen__compact_old"))
+    shutil.rmtree(os.path.join(dirty, "scheduled_1"))
+    counts2 = run_crawl(spark, docs, seeds, robots, dirty, N_DOCS,
+                        iterations=ITERS, run_id="fresh3")
+    assert counts2 == counts
+    assert not os.path.isdir(os.path.join(dirty, "seen__compact_old"))
+    cat = Catalog(spark, dirty)
+    assert read_seen(cat, ITERS).count() == read_seen(
+        Catalog(spark, ckpt), ITERS).count()

@@ -119,30 +119,45 @@ def apply_rules(
 
 
 def _apply_rules_cogrouped(urls: DataFrame, rules: DataFrame,
-                           out_col: str) -> DataFrame:
+                           out_col: str, n_salt: int = 32) -> DataFrame:
     """Big-dimension rule application (the RewriteTool side-input pattern
-    re-expressed as a shuffle): cogroup URLs and rules on host so each
-    host's rule list crosses Arrow once per group task — no driver
+    re-expressed as a shuffle): cogroup URLs and rules on (host, salt) so
+    each host's rule list crosses Arrow once per group task — no driver
     materialization at any rules-table size. Byte-identical to the
-    broadcast path (same rewrite_url kernel, same rule_id precedence)."""
+    broadcast path (same rewrite_url kernel, same rule_id precedence).
+
+    The URL side is salted ``n_salt`` ways (hash of the url) and the
+    host's rules replicated to every salt, so a hot host's URLs split
+    across ``n_salt`` tasks instead of materializing as ONE pandas frame —
+    per-task group size is host_urls/n_salt, bounded regardless of skew.
+    The cost is an ``n_salt``x fan-out of the rules shuffle; rules rows are
+    (host, 2 short strings), so at the 10^6-row scale that triggers this
+    path the replicated shuffle is tens of MB — noise next to the URL-side
+    shuffle this plan already pays."""
     from pyspark.sql.types import StringType, StructField, StructType
 
     out_schema = StructType(
         list(urls.schema.fields) + [StructField(out_col, StringType())]
     )
+    urls_s = urls.withColumn(
+        "_salt", F.pmod(F.hash(F.col("url")), F.lit(n_salt))
+    )
+    rules_s = rules.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
 
     def rw(updf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         srt = rpdf.sort_values("rule_id")
         rs = list(zip(srt["pattern"], srt["rule"]))
-        updf = updf.copy()
+        updf = updf.drop(columns=["_salt"])
         updf[out_col] = [
             rewrite_url(rs, u) if rs else u for u in updf["url"]
         ]
         return updf
 
     return (
-        urls.groupBy("host")
-        .cogroup(rules.groupBy("host"))
+        urls_s.groupBy("host", "_salt")
+        .cogroup(rules_s.groupBy("host", "_salt"))
         .applyInPandas(rw, out_schema)
     )
 

@@ -176,7 +176,8 @@ def _broadcast_model(df: DataFrame, centroids: list[list[float]]):
 
 def with_ivf_cluster(df: DataFrame, centroids: list[list[float]],
                      vec_col: str = "embedding",
-                     literal_max_k: int = LITERAL_MAX_K) -> DataFrame:
+                     literal_max_k: int = LITERAL_MAX_K,
+                     model_bc=None) -> DataFrame:
     """+ ``cluster``: index of the nearest centroid (argmin L2 == argmax
     x·c - |c|²/2; ties -> lowest index, deterministic).
 
@@ -184,6 +185,8 @@ def with_ivf_cluster(df: DataFrame, centroids: list[list[float]],
     k > literal_max_k: broadcast model + pandas UDF — plan size O(1) in k,
     per-batch cost one (batch x k) matmul instead of k expression trees.
     Same first-max tie rule (np.argmax) on the same double math.
+    ``model_bc`` lets a caller that also probes the model (ann_ivf_topk)
+    share ONE broadcast instead of shipping the k x dim matrix twice.
     """
     if len(centroids) <= literal_max_k:
         arr = _centroid_score_arr(centroids, vec_col)
@@ -193,7 +196,7 @@ def with_ivf_cluster(df: DataFrame, centroids: list[list[float]],
         )
     import numpy as np
 
-    bc = _broadcast_model(df, centroids)
+    bc = model_bc if model_bc is not None else _broadcast_model(df, centroids)
 
     @pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
@@ -214,8 +217,10 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame,
     Past ``literal_max_k`` centroids the model leaves the plan (broadcast
     numpy matrix + pandas UDF, same as with_ivf_cluster) — plan size stays
     O(1) in k. Probe tie rule in both paths: score DESC, cell DESC."""
+    model_bc = (_broadcast_model(corpus, centroids)
+                if len(centroids) > literal_max_k else None)
     c_assigned = with_ivf_cluster(corpus, centroids, vec_col,
-                                  literal_max_k).select(
+                                  literal_max_k, model_bc=model_bc).select(
         F.col(id_col).alias("neighbor_id"), "cluster",
         F.col(vec_col).alias("c_vec"),
     )
@@ -232,7 +237,7 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame,
     else:
         import numpy as np
 
-        bc = _broadcast_model(queries, centroids)
+        bc = model_bc  # shared with the corpus-side assignment
 
         @pandas_udf("array<int>")
         def probe(vecs: pd.Series) -> pd.Series:
@@ -267,18 +272,25 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame,
     )
 
 
-def _has_hot_bucket(bucketed: DataFrame, max_bucket_rows: int,
-                    bucket_cols: list[str] | None = None) -> bool:
-    """One tiny driver action deciding whether the hot-bucket split plan
-    is needed: scans the bucket histogram (<= 2^n_planes groups) and
-    stops at the first over-threshold bucket."""
-    return (
-        bucketed.groupBy(*(bucket_cols or ["bucket"]))
-        .agg(F.count("*").alias("_bn"))
+def _hot_bucket_set(bucketed: DataFrame, max_bucket_rows: int):
+    """ONE corpus scan deciding the hot-bucket split: collect the
+    over-threshold bucket ids from the bucket histogram (<= 2^n_planes
+    groups — model-sized) and rebuild them as a tiny local relation for
+    broadcast semi/anti joins. Returns None when no bucket is hot, so the
+    common cold case costs exactly one aggregate and keeps the single-join
+    plan; the hot case reuses the SAME collected histogram instead of
+    re-aggregating the corpus lineage (r3 review: the previous
+    boolean-probe + counts-join shape scanned the corpus 2-3x per table)."""
+    rows = (
+        bucketed.groupBy("bucket").agg(F.count("*").alias("_bn"))
         .filter(F.col("_bn") > max_bucket_rows)
-        .limit(1)
-        .count()
-        > 0
+        .select("bucket")
+        .collect()
+    )
+    if not rows:
+        return None
+    return bucketed.sparkSession.createDataFrame(
+        rows, schema=bucketed.select("bucket").schema
     )
 
 
@@ -317,19 +329,19 @@ def cosine_near_duplicates(corpus: DataFrame, threshold: float = 0.8,
         b = lsh_buckets(corpus, n_planes, vec_col, dim, salt=salt).select(
             F.col(id_col).alias("_id"), "bucket", vec_col
         )
-        # adaptive guard: the histogram is one cheap aggregate (<=
-        # 2^n_planes rows); the expensive two-branch split plan is built
-        # ONLY when a hot bucket actually exists, so the common cold case
-        # keeps the r2 single-join plan (the interleaved A/B showed the
-        # unconditional split costing ~2x at sandbox scale)
-        if max_bucket_rows is not None and _has_hot_bucket(
-                b, max_bucket_rows):
-            counts = b.groupBy("bucket").agg(F.count("*").alias("_bn"))
-            b = b.join(F.broadcast(counts), "bucket")
-            cold = b.filter(F.col("_bn") <= max_bucket_rows)
+        # adaptive guard: the histogram is ONE cheap aggregate (<=
+        # 2^n_planes rows, collected); the expensive two-branch split plan
+        # is built ONLY when a hot bucket actually exists, so the common
+        # cold case keeps the r2 single-join plan (the interleaved A/B
+        # showed the unconditional split costing ~2x at sandbox scale)
+        hotset = (_hot_bucket_set(b, max_bucket_rows)
+                  if max_bucket_rows is not None else None)
+        if hotset is not None:
+            cold = b.join(F.broadcast(hotset), "bucket", "left_anti")
             hot = lsh_buckets(
-                b.filter(F.col("_bn") > max_bucket_rows), refine_planes,
-                vec_col, dim, salt=f"{salt}#refine", out_col="bucket2",
+                b.join(F.broadcast(hotset), "bucket", "left_semi"),
+                refine_planes, vec_col, dim, salt=f"{salt}#refine",
+                out_col="bucket2",
             )
             halves = [
                 (cold.select("_id", "bucket"), ["bucket"]),
@@ -410,22 +422,19 @@ def ann_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 ),
             )
         rsalt = f"{salt}#refine"
-        if max_bucket_rows is not None and _has_hot_bucket(
-                cb, max_bucket_rows):
-            counts = cb.groupBy("bucket").agg(F.count("*").alias("_bn"))
-            hotset = counts.filter(F.col("_bn") > max_bucket_rows).select(
-                "bucket"
-            )
-            cbn = cb.join(F.broadcast(counts), "bucket")
+        hotset = (_hot_bucket_set(cb, max_bucket_rows)
+                  if max_bucket_rows is not None else None)
+        if hotset is not None:
             sides = [
                 (qb.join(F.broadcast(hotset), "bucket", "left_anti"),
-                 cbn.filter(F.col("_bn") <= max_bucket_rows), ["bucket"]),
+                 cb.join(F.broadcast(hotset), "bucket", "left_anti"),
+                 ["bucket"]),
                 (lsh_buckets(
                     qb.join(F.broadcast(hotset), "bucket", "left_semi"),
                     refine_planes, vec_col, dim, salt=rsalt,
                     out_col="bucket2"),
                  lsh_buckets(
-                    cbn.filter(F.col("_bn") > max_bucket_rows),
+                    cb.join(F.broadcast(hotset), "bucket", "left_semi"),
                     refine_planes, vec_col, dim, salt=rsalt,
                     out_col="bucket2"),
                  ["bucket", "bucket2"]),

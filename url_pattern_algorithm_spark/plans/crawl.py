@@ -475,8 +475,12 @@ def run_crawl(
         # scheduled_N for N past this run's end) would otherwise survive
         # and corrupt a later out-of-range resume
         for name in cat.table_names():
-            if (name in ("seen", "_compaction", "_metrics")
-                    or name.startswith(("bloom_", "pending_",
+            # a crash inside Catalog.rewrite's swap window leaves the live
+            # data under <base>__compact_old; wipe by BASE name so a prior
+            # run's seen table can't be resurrected by _recover mid-run
+            base = name.split("__compact_", 1)[0]
+            if (base in ("seen", "_compaction", "_metrics")
+                    or base.startswith(("bloom_", "pending_",
                                         "host_state_", "scheduled_"))):
                 cat.drop(name)
         _write_run_meta(cat, bloom_buckets, bloom_m_bits)

@@ -66,8 +66,12 @@ def garbage_page_plan(
     # test-count scan (three consumers of the cap+gate+normalize work)
     split = persist_tracked(train_test_split(gated, train_frac, order_col))
     train = split.filter(F.col("is_train"))
+    # sort_urls: the alternation feeds two downstream scans that may
+    # evaluate the tree UDF independently — pin the recursion to the URL
+    # set, not the shuffle's delivery order
     nodes = build_trees(train.select("host", "url"),
-                        min_host_urls=min_host_urls, example_cap=example_cap)
+                        min_host_urls=min_host_urls, example_cap=example_cap,
+                        sort_urls=True)
     alts = leaf_alternations(nodes)
     rates = match_rate(train.select("host", "url_canon"), alts)
     kept = rates.filter(F.col("match_rate") >= gate)

@@ -67,8 +67,11 @@ def theme_page_plan(
     # (children/parents/leaves) — without the persist the per-host tree
     # UDF re-runs once per join branch. alts is tiny (one row per host);
     # materializing it here lets nodes be released before returning.
+    # sort_urls: alts outlives this call through the tracked registry and
+    # may be RECOMPUTED after release — the recursion's input order must be
+    # a pure function of the URL set, not of shuffle delivery order
     nodes = build_trees(capped, min_host_urls=min_host_urls,
-                        example_cap=example_cap).persist()
+                        example_cap=example_cap, sort_urls=True).persist()
     # alts outlives this call (it backs the returned `classified` plan), so
     # it goes through the tracked registry — released when the caller's
     # next registry query starts instead of leaking for the session
