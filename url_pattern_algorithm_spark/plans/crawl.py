@@ -37,6 +37,7 @@ doc with index splitmix(url_hash) — same function in the pure-python oracle
 from __future__ import annotations
 
 from collections.abc import Iterator
+from concurrent.futures import ThreadPoolExecutor
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -61,6 +62,30 @@ REFILL = 1.0
 
 BLOOM_M_BITS = 1 << 17  # fixed per-bucket bitmap bits (incremental OR mode)
 PENDING_HBUCKETS = 16  # host-hash partition count for pending snapshots
+
+
+def _run_writers(writers) -> None:
+    """Run the iteration's independent state-write jobs.
+
+    Default: submit them as CONCURRENT Spark jobs from driver threads — the
+    standard multi-executor driver pattern (independent output jobs fill
+    scheduler slots a single ~32-task write leaves idle). Each writer targets
+    a disjoint table and reads only cached/parquet inputs, so ordering is
+    immaterial; crash semantics are unchanged (any subset of the iteration's
+    tables may exist after a failure, and resume re-runs the whole iteration
+    idempotently). ``SPARK_GRAFT_SEQ_WRITES=1`` forces sequential submission
+    (the A/B lever for tools/writes_ab_probe.py).
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SEQ_WRITES") == "1":
+        for w in writers:
+            w()
+        return
+    with ThreadPoolExecutor(max_workers=len(writers)) as pool:
+        # .result() re-raises the first writer failure on the driver thread
+        for fut in [pool.submit(w) for w in writers]:
+            fut.result()
 
 
 class Politeness:
@@ -285,25 +310,38 @@ def init_state(
         F.min("host").alias("host"),
         F.max("priority").alias("priority"),
     ).select(*PENDING_COLS[:5], F.lit(0).alias("discovered_iter"))
-    # one UDF pass: pending feeds three checkpoint writes
+    # one UDF pass: pending feeds four checkpoint writes. pending_0 runs
+    # first (pays the UDF cost, fills the cache); the remaining three read
+    # only the cache and target disjoint tables -> concurrent driver jobs,
+    # same pattern as run_iteration's state writes.
     pending = pending.persist()
     cat.write_checkpoint(
         _with_hbucket(pending), "pending_0", run_id, 0,
         partition_by=["hbucket"],
     )
-    _write_seen_delta(cat, pending, run_id, 0, bloom_buckets)
-    if use_bloom:
+
+    def write_seen() -> None:
+        _write_seen_delta(cat, pending, run_id, 0, bloom_buckets)
+
+    def write_bloom() -> None:
         bloom0 = build_bloom(
             pending.select("url_hash"), bloom_buckets, m_bits=bloom_m_bits
         )
         cat.write_checkpoint(bloom0.coalesce(4), "bloom_0", run_id, 0)
-    host_state = pending.select("host").distinct().select(
-        "host",
-        F.lit(pol.tokens_init).alias("tokens"),
-        F.lit(0).alias("last_iter"),
-        F.lit(1.0).alias("crawl_delay"),
-    )
-    cat.write_checkpoint(host_state, "host_state_0", run_id, 0)
+
+    def write_host_state() -> None:
+        host_state = pending.select("host").distinct().select(
+            "host",
+            F.lit(pol.tokens_init).alias("tokens"),
+            F.lit(0).alias("last_iter"),
+            F.lit(1.0).alias("crawl_delay"),
+        )
+        cat.write_checkpoint(host_state, "host_state_0", run_id, 0)
+
+    writers = [write_seen, write_host_state]
+    if use_bloom:
+        writers.append(write_bloom)
+    _run_writers(writers)
     cat.flush_metrics()
     pending.unpersist()
 
@@ -379,17 +417,25 @@ def run_iteration(
     # host_state_N: persist so it runs once, not four times
     new_rows = new_rows.persist()
 
-    # 4. next state: pending/host_state snapshots + seen/bloom DELTAS only
-    remaining = pending.join(
-        scheduled.select("url_hash"), "url_hash", "left_anti"
-    ).select(*PENDING_COLS)
-    next_pending = remaining.unionByName(new_rows.select(*PENDING_COLS))
-    cat.write_checkpoint(
-        _with_hbucket(next_pending), f"pending_{iteration}", run_id, iteration,
-        partition_by=["hbucket"],
-    )
+    # 4. next state: pending/host_state snapshots + seen/bloom DELTAS only.
+    # The seen-delta write runs FIRST: it is the cheapest job that touches
+    # every partition of the persisted candidate pipeline, so it pays the
+    # one-time UDF/dedup cost and leaves new_rows fully cached. The three
+    # remaining state writes read only cached/parquet inputs and target
+    # disjoint tables -> _run_writers submits them as concurrent driver jobs.
     _write_seen_delta(cat, new_rows, run_id, iteration, bloom_buckets)
-    if use_bloom:
+
+    def write_pending() -> None:
+        remaining = pending.join(
+            scheduled.select("url_hash"), "url_hash", "left_anti"
+        ).select(*PENDING_COLS)
+        next_pending = remaining.unionByName(new_rows.select(*PENDING_COLS))
+        cat.write_checkpoint(
+            _with_hbucket(next_pending), f"pending_{iteration}", run_id,
+            iteration, partition_by=["hbucket"],
+        )
+
+    def write_bloom() -> None:
         # one cogroup pass builds the delta bitmaps AND ORs them into the
         # stored state; coalesce: n_buckets rows never need 32 files
         next_blooms = update_blooms(
@@ -398,23 +444,30 @@ def run_iteration(
         cat.write_checkpoint(
             next_blooms.coalesce(4), f"bloom_{iteration}", run_id, iteration,
         )
-    new_hosts = (
-        new_rows.select("host").distinct()
-        .join(new_host_state.select("host"), "host", "left_anti")
-        .select(
-            "host",
-            F.lit(pol.tokens_init).alias("tokens"),
-            F.lit(iteration).alias("last_iter"),
-            F.lit(1.0).alias("crawl_delay"),
+
+    def write_host_state() -> None:
+        new_hosts = (
+            new_rows.select("host").distinct()
+            .join(new_host_state.select("host"), "host", "left_anti")
+            .select(
+                "host",
+                F.lit(pol.tokens_init).alias("tokens"),
+                F.lit(iteration).alias("last_iter"),
+                F.lit(1.0).alias("crawl_delay"),
+            )
         )
-    )
-    cat.write_checkpoint(
-        new_host_state.select("host", "tokens", "last_iter", "crawl_delay")
-        .unionByName(new_hosts),
-        f"host_state_{iteration}",
-        run_id,
-        iteration,
-    )
+        cat.write_checkpoint(
+            new_host_state.select("host", "tokens", "last_iter", "crawl_delay")
+            .unionByName(new_hosts),
+            f"host_state_{iteration}",
+            run_id,
+            iteration,
+        )
+
+    writers = [write_pending, write_host_state]
+    if use_bloom:
+        writers.append(write_bloom)
+    _run_writers(writers)
     cat.flush_metrics()
     new_rows.unpersist()
     scheduled.unpersist()
