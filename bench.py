@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_multiprobe",
+    "ann_ivf",
+    "garbage_page_report",
     "doc_quality",
 ]
 

@@ -249,3 +249,30 @@ def test_fresh_run_wipes_orphaned_compact_old(crawl_run, tmp_path):
     cat = Catalog(spark, dirty)
     assert read_seen(cat, ITERS).count() == read_seen(
         Catalog(spark, ckpt), ITERS).count()
+
+
+def test_sequential_writes_equivalence(crawl_run, tmp_path, monkeypatch):
+    # SPARK_GRAFT_SEQ_WRITES flips _run_writers from concurrent driver jobs
+    # to sequential submission; it must not change any state table
+    spark, ckpt, _, oracle, docs, seeds, robots = crawl_run
+    ckpt2 = str(tmp_path / "seqwrites")
+    monkeypatch.setenv("SPARK_GRAFT_SEQ_WRITES", "1")
+    run_crawl(spark, docs, seeds, robots, ckpt2, N_DOCS, iterations=ITERS)
+    for it in range(1, ITERS + 1):
+        assert _spark_scheduled(spark, ckpt2, it) == _spark_scheduled(
+            spark, ckpt, it
+        )
+    cat, cat2 = Catalog(spark, ckpt), Catalog(spark, ckpt2)
+    # semantic columns only: the shared ckpt's lineage stamps (run_id etc.)
+    # may have been rewritten by test_resume_from_checkpoint
+    for reader in (
+        lambda c: read_seen(c, ITERS).select("url_hash", "first_iter"),
+        lambda c: c.read(f"host_state_{ITERS}").select(
+            "host", "tokens", "last_iter", "crawl_delay"),
+        lambda c: c.read(f"pending_{ITERS}").select(
+            "url", "url_canon", "url_hash", "host", "priority",
+            "discovered_iter"),
+    ):
+        a = {tuple(r) for r in reader(cat).collect()}
+        b = {tuple(r) for r in reader(cat2).collect()}
+        assert a == b
