@@ -276,3 +276,44 @@ def test_sequential_writes_equivalence(crawl_run, tmp_path, monkeypatch):
         a = {tuple(r) for r in reader(cat).collect()}
         b = {tuple(r) for r in reader(cat2).collect()}
         assert a == b
+
+
+def test_resume_after_partial_iteration_crash(crawl_run, tmp_path):
+    # with concurrent state writes, a mid-iteration crash can leave ANY
+    # subset of the iteration's tables written; _run_meta's last_iteration
+    # is bumped only after all of them complete, so the documented recovery
+    # (resume from the last recorded iteration) must rewrite the partial
+    # iteration and converge to the uninterrupted run's state
+    import json
+    import os
+    import shutil
+
+    spark, ckpt, counts, oracle, docs, seeds, robots = crawl_run
+    root = str(tmp_path / "crashed")
+    run_crawl(spark, docs, seeds, robots, root, N_DOCS, iterations=ITERS)
+    # simulate the crash inside iteration ITERS: the seen delta + pending
+    # snapshot landed, host_state/bloom/scheduled did not, meta still at
+    # ITERS-1 (it is only written after the writer pool joins)
+    for name in (f"host_state_{ITERS}", f"bloom_{ITERS}",
+                 f"scheduled_{ITERS}"):
+        shutil.rmtree(os.path.join(root, name))
+    meta_path = os.path.join(root, "_run_meta.json")
+    meta = json.load(open(meta_path))
+    meta["last_iteration"] = ITERS - 1
+    json.dump(meta, open(meta_path, "w"))
+
+    counts2 = run_crawl(spark, docs, seeds, robots, root, N_DOCS,
+                        iterations=ITERS, resume_from=ITERS - 1,
+                        run_id="recovered")
+    assert counts2[ITERS] == counts[ITERS]
+    assert _spark_scheduled(spark, root, ITERS) == _spark_scheduled(
+        spark, ckpt, ITERS
+    )
+    cat = Catalog(spark, root)
+    got = {
+        (r["url_hash"], r["first_iter"])
+        for r in read_seen(cat, ITERS).select("url_hash", "first_iter").collect()
+    }
+    assert got == set(oracle.seen.items())
+    # the partial epoch was overwritten, not doubled
+    assert cat.read("seen").count() == len(got)
