@@ -95,3 +95,61 @@ def test_stateful_host_budget(spark, tmp_path):
     b = by_host["b.com"]
     assert len(b) == 1 and b[0].total_requests == 1
     assert b[0].tokens == pytest.approx(2.0)
+
+
+def test_watermark_drops_late_events_across_restart(spark, tmp_path):
+    # append-mode watermark semantics over two stream RUNS sharing one
+    # checkpoint: run 1 advances the watermark to max_ts - 2h and finalizes
+    # the closed window; run 2 delivers an event older than the committed
+    # watermark (its window already emitted) which must be DROPPED, and an
+    # in-threshold event which must stay in state (not emitted - no final
+    # batch after it). File sink: appended rows survive the restart.
+    import pandas as pd
+
+    from url_pattern_algorithm_spark.streaming.events import (
+        read_events_stream,
+        windowed_rollup,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "wmckpt")
+
+    def write_batch(name, ts_list):
+        pd.DataFrame({
+            "event_id": range(len(ts_list)),
+            "ts": pd.to_datetime(ts_list),
+            "user_id": [1] * len(ts_list),
+            "event_type": ["x"] * len(ts_list),
+            "value": [1.0] * len(ts_list),
+            "props": [""] * len(ts_list),
+        }).to_parquet(src / name, coerce_timestamps="us",
+                      allow_truncated_timestamps=True)
+
+    def run():
+        q = (
+            windowed_rollup(read_events_stream(spark, str(src)))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: event at 09:30 (window [09:00,10:00)) + one at 13:00 that
+    # pushes the watermark to 11:00 > 10:00 -> the 09:00 window finalizes
+    write_batch("b1.parquet", ["2026-01-01 09:30:00", "2026-01-01 13:00:00"])
+    run()
+    rows1 = {(r.hour, r.n) for r in spark.read.parquet(out).collect()}
+    assert ("2026-01-01 09", 1) in rows1
+
+    # run 2: a too-late event for the closed window + an in-threshold one
+    write_batch("b2.parquet", ["2026-01-01 09:45:00", "2026-01-01 12:50:00"])
+    run()
+    rows2 = [(r.hour, r.n) for r in spark.read.parquet(out).collect()]
+    # the 09:00 window was emitted exactly once with n=1: the late event
+    # neither re-emitted nor corrected it, and no 12:00 row appeared (its
+    # window is still open under the restored watermark)
+    assert sorted(rows2) == sorted(rows1)
