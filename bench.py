@@ -190,7 +190,7 @@ def _load_queries(pkg_root: str):
 def run_ab_queries(spark, sf_dir: str, ref: str, reps: int = 2,
                    queries: list[str] | None = None) -> dict:
     """Interleaved same-session A/B: HEAD vs a prior git ref (default tag
-    r2), alternating legs per rep, best-of-reps per leg. Returns
+    r3), alternating legs per rep, best-of-reps per leg. Returns
     {query: {head, ref, ratio}} (ratio < 1 = HEAD faster)."""
     import subprocess
 
@@ -287,8 +287,8 @@ def main() -> None:
     # interleaved cross-round A/B (r2 verdict item 8): this box's 2x
     # co-tenant noise makes cross-day per-query numbers uninterpretable, so
     # compare HEAD against the previous round's tag inside one session.
-    # Default ref: tag r2; SPARK_GRAFT_AB_REF overrides, =skip disables.
-    ab_ref = os.environ.get("SPARK_GRAFT_AB_REF", "r2")
+    # Default ref: tag r3; SPARK_GRAFT_AB_REF overrides, =skip disables.
+    ab_ref = os.environ.get("SPARK_GRAFT_AB_REF", "r3")
     if ab_ref != "skip":
         try:
             spark = _spark(f"local[{CPUS}]")

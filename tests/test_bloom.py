@@ -96,3 +96,38 @@ def test_update_blooms_m_mismatch_raises(spark):
     state = build_bloom(old, n_buckets=4, m_bits=1 << 12)
     with _pytest.raises(Exception, match="m_bits"):
         update_blooms(state, delta, n_buckets=4, m_bits=1 << 13).collect()
+
+
+def test_fp_rate_at_design_load():
+    """Measured false-positive rate at the derived sizing: 10 bits/key,
+    k=7 (BLOOM_BITS_PER_KEY/BLOOM_HASHES — theoretical fp ~0.8%). Pure
+    numpy on the same _set_bits/probe kernels the Spark UDFs run; asserts
+    the <2% bound the scaling.py derivations promise."""
+    import numpy as np
+
+    from url_pattern_algorithm_spark.operators.frontier import (
+        BLOOM_BITS_PER_KEY,
+        BLOOM_HASHES,
+        _set_bits,
+    )
+
+    m = 1 << 20
+    n_keys = m // BLOOM_BITS_PER_KEY  # exactly the design load
+    rng = np.random.default_rng(42)
+    keys = rng.integers(0, 1 << 63, size=n_keys, dtype=np.int64).astype(np.uint64)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    _set_bits(bits, keys, m)
+
+    probes = rng.integers(0, 1 << 63, size=200_000, dtype=np.int64).astype(np.uint64)
+    probes = np.setdiff1d(probes, keys)  # disjoint from the inserted set
+    h1 = probes
+    h2 = (h1 >> np.uint64(17)) | (h1 << np.uint64(47))
+    hit = np.ones(len(h1), dtype=bool)
+    for k in range(BLOOM_HASHES):
+        pos = (h1 + np.uint64(k) * h2) % np.uint64(m)
+        hit &= (
+            bits[(pos >> np.uint64(3)).astype(np.int64)]
+            >> (pos & np.uint64(7)).astype(np.uint8)
+        ) & 1 == 1
+    fp = hit.mean()
+    assert fp < 0.02, fp

@@ -122,3 +122,30 @@ def test_pattern_sanity_predicate(spark):
         ).collect()
     ]
     assert got == [False, False, True, False, True]
+
+
+def test_cluster_scan_distributed_equals_single_bucket(spark):
+    # r3 verdict item 5: the cluster scan's running cluster-id must NOT be
+    # a single-task global window. Byte-equality across bucket sizes on a
+    # multi-partition input, and no single-partition exchange in the plan.
+    from url_pattern_algorithm_spark.operators.rewrite import (
+        cluster_rows_from_text,
+    )
+
+    rows = []
+    n = 0
+    for c in range(37):
+        rows.append((n, "#")); n += 1
+        for u in range((c % 5) + 1):
+            rows.append((n, f"http://host{c % 7}.com/c{c}/u{u}")); n += 1
+    lines = spark.createDataFrame(rows, "line_no long, line string").repartition(8)
+
+    big = cluster_rows_from_text(spark, lines)  # one bucket (default size)
+    small = cluster_rows_from_text(spark, lines, rows_per_bucket=16)
+    key = lambda r: (r["cluster_id"], r["url"])
+    got_big = sorted(map(tuple, big.select("host", "cluster_id", "url").collect()))
+    got_small = sorted(map(tuple, small.select("host", "cluster_id", "url").collect()))
+    assert got_big == got_small and len(got_big) == n - 37
+
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

@@ -1,7 +1,13 @@
 """Pin the cardinality-derived parameter defaults to their documented
-targets (scaling.py module docstring). Pure functions — no Spark."""
+targets (scaling.py module docstring), and the size-gated broadcast hint's
+physical-plan behavior on host-cardinality dimensions."""
+
+import contextlib
+
+from pyspark.sql import functions as F
 
 from url_pattern_algorithm_spark.scaling import (
+    broadcast_if_small,
     derive_bloom_buckets,
     derive_bloom_m_bits,
     derive_n_planes,
@@ -42,3 +48,145 @@ def test_pending_hbuckets_targets():
     assert derive_pending_hbuckets(10**5) == 16  # sandbox clamp
     b = derive_pending_hbuckets(10**8)
     assert b & (b - 1) == 0
+
+
+# ---------------------------------------------------------------------------
+# broadcast_if_small: the gate that keeps host-cardinality dimensions
+# (politeness budgets, robots rules, per-host counts, alternations) from
+# being force-broadcast at 10^7+-host scale (r3 verdict item 1).
+# ---------------------------------------------------------------------------
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@contextlib.contextmanager
+def _no_auto_broadcast(spark):
+    """Disable size-based broadcast so the ONLY possible broadcast source
+    is the hint under test (hints override the threshold)."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, "-1")
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None or v == "":
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _host_frames(spark, n_hosts=500):
+    fact = spark.range(0, 4000).select(
+        F.concat(F.lit("h"), (F.col("id") % n_hosts).cast("string")).alias("host"),
+        F.col("id"),
+    )
+    dim = spark.range(0, n_hosts).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.lit(1.0).alias("w"),
+    )
+    return fact, dim
+
+
+def test_broadcast_gate_physical_plans(spark):
+    fact, dim = _host_frames(spark)
+    with _no_auto_broadcast(spark):
+        under = fact.join(broadcast_if_small(dim, est_rows=500), "host")
+        under.collect()
+        assert "BroadcastHashJoin" in _plan(under)
+
+        over = fact.join(broadcast_if_small(dim, est_rows=10**8), "host")
+        over.collect()
+        p = _plan(over)
+        assert "BroadcastHashJoin" not in p
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_broadcast_gate_probe_path(spark):
+    """est_rows=None: a bounded limit+count probe decides."""
+    fact, dim = _host_frames(spark)
+    with _no_auto_broadcast(spark):
+        hinted = fact.join(broadcast_if_small(dim), "host")
+        hinted.collect()
+        assert "BroadcastHashJoin" in _plan(hinted)
+
+        gated = fact.join(broadcast_if_small(dim, max_rows=100), "host")
+        gated.collect()
+        assert "BroadcastHashJoin" not in _plan(gated)
+
+
+def test_cap_per_host_gate(spark):
+    from url_pattern_algorithm_spark.operators.sampling import cap_per_host
+
+    urls = spark.range(0, 4000).select(
+        F.concat(F.lit("h"), (F.col("id") % 300).cast("string")).alias("host"),
+        F.concat(F.lit("http://x/"), F.col("id").cast("string")).alias("url"),
+    )
+    with _no_auto_broadcast(spark):
+        small = cap_per_host(urls, cap=5, est_hosts=300)
+        small.collect()
+        assert "BroadcastHashJoin" in _plan(small)
+
+        big = cap_per_host(urls, cap=5, est_hosts=10**8)
+        big.collect()
+        assert "BroadcastHashJoin" not in _plan(big)
+
+
+def test_robots_filter_gate(spark):
+    from url_pattern_algorithm_spark.operators.frontier import robots_filter
+
+    cand = spark.range(0, 1000).select(
+        F.concat(F.lit("h"), (F.col("id") % 40).cast("string")).alias("host"),
+        F.concat(
+            F.lit("http://h"), (F.col("id") % 40).cast("string"),
+            F.lit("/p/"), F.col("id").cast("string"),
+        ).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        [(f"h{i}", "/blocked", False) for i in range(40)],
+        "host string, prefix string, allow boolean",
+    )
+    with _no_auto_broadcast(spark):
+        for longest in (False, True):
+            small = robots_filter(cand, robots, longest_match=longest,
+                                  est_rows=40)
+            small.collect()
+            assert "BroadcastHashJoin" in _plan(small)
+
+            big = robots_filter(cand, robots, longest_match=longest,
+                                 est_rows=10**8)
+            big.collect()
+            assert "BroadcastHashJoin" not in _plan(big)
+
+
+def test_ann_n_planes_default_derives(spark):
+    # r3 verdict item 4: similarity operators must DERIVE the plane count
+    # when not pinned — a 10^8-row corpus estimate gets 15 planes, not a
+    # silent 8; est_rows costs no Spark job (corpus untouched)
+    from url_pattern_algorithm_spark.operators.similarity import (
+        _resolve_n_planes,
+        cosine_near_duplicates,
+    )
+
+    assert _resolve_n_planes(None, None, 10**8) == 15
+    assert _resolve_n_planes(None, None, 10**9) == 18
+    assert _resolve_n_planes(None, 4, 10**9) == 4  # explicit pin wins
+    # end-to-end: n_planes=None on a small corpus derives (count -> 8)
+    # and still finds the planted duplicate pair
+    rows = [(i, [float((i * 7 + d) % 5 - 2) for d in range(16)])
+            for i in range(40)]
+    rows.append((100, rows[0][1]))  # exact duplicate of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b)
+           for r in cosine_near_duplicates(df, threshold=0.99,
+                                           dim=16).collect()}
+    assert (0, 100) in got

@@ -80,7 +80,14 @@ def run_oracle_crawl(
     n_hosts: int,
     iterations: int = 3,
 ) -> OracleState:
-    disallow = [(h, p) for h, p, allow in robots if not allow]
+    # rows are (host, prefix, allow) or (host, prefix, allow, crawl_delay);
+    # per-host delay = MAX across rows (host_crawl_delays' conservative
+    # reading), default 1.0 — mirrors plans/crawl._with_crawl_delay
+    disallow = [(r[0], r[1]) for r in robots if not r[2]]
+    delay: dict[str, float] = {}
+    for r in robots:
+        if len(r) >= 4 and r[3] is not None:
+            delay[r[0]] = max(delay.get(r[0], 0.0), float(r[3]))
     st = OracleState()
     # init (iteration 0): dedup seeds on hash, max priority, robots-filtered
     for url, prio in seeds:
@@ -103,7 +110,7 @@ def run_oracle_crawl(
     for it in range(1, iterations + 1):
         # politeness budgets
         avail = {
-            host: min(TOKENS_CAP, t + REFILL / 1.0)
+            host: min(TOKENS_CAP, t + REFILL / delay.get(host, 1.0))
             for host, t in st.host_tokens.items()
         }
         budget = {host: int(math.floor(t)) for host, t in avail.items()}

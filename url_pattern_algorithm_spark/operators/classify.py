@@ -19,6 +19,7 @@ from pyspark.sql.functions import pandas_udf
 
 from url_pattern_algorithm_spark.kernel.tokenize import tokenize_full
 from url_pattern_algorithm_spark.kernel.tree import structural_match
+from url_pattern_algorithm_spark.scaling import broadcast_if_small
 
 
 def classify_structural(
@@ -78,10 +79,20 @@ def classify_structural(
 
 
 def classify_regex(pages_with_canon: DataFrame, alternations: DataFrame,
-                   out_col: str = "page_type") -> DataFrame:
+                   out_col: str = "page_type",
+                   est_rows: int | None = None) -> DataFrame:
     """Canonical-regex classification: broadcast-join the per-host
-    alternation and regexp_like in codegen (no Python)."""
-    j = pages_with_canon.join(F.broadcast(alternations), "host", "left")
+    alternation and regexp_like in codegen (no Python).
+
+    The alternation dimension is one row per GATED HOST — post-gate it is
+    usually tiny, but at 10^7+-host scale the hint is a hazard, so it is
+    size-gated (scaling.broadcast_if_small). Callers that already count the
+    persisted alternation frame (plans/theme_pages.py) pass ``est_rows`` so
+    no extra job runs; ``None`` probes — persist ``alternations`` first if
+    its lineage includes the tree UDF."""
+    j = pages_with_canon.join(
+        broadcast_if_small(alternations, est_rows), "host", "left"
+    )
     return j.withColumn(
         out_col,
         F.when(
@@ -93,10 +104,12 @@ def classify_regex(pages_with_canon: DataFrame, alternations: DataFrame,
 
 
 def support_ratio(membership: DataFrame, nodes: DataFrame,
-                  min_support: float = 0.5) -> DataFrame:
+                  min_support: float = 0.5,
+                  est_hosts: int | None = None) -> DataFrame:
     """ContentPageAnalyzer.java:25-58: per URL, (sum of sizes of matched
     leaves) / (sum of all leaf sizes for the host) >= min_support.
-    Matched leaves come from the membership table (equi-join, no scan)."""
+    Matched leaves come from the membership table (equi-join, no scan).
+    The per-host totals dimension is size-gated like classify_regex's."""
     leaves = nodes.filter("is_leaf").select(
         "host", "node_id", F.col("url_count").alias("leaf_size")
     )
@@ -106,7 +119,7 @@ def support_ratio(membership: DataFrame, nodes: DataFrame,
         F.sum("leaf_size").alias("matched_size")
     )
     return (
-        per_url.join(F.broadcast(totals), "host")
+        per_url.join(broadcast_if_small(totals, est_hosts), "host")
         .withColumn("support", F.col("matched_size") / F.col("total"))
         .withColumn("is_theme", F.col("support") >= min_support)
     )

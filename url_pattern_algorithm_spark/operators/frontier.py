@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from url_pattern_algorithm_spark.scaling import broadcast_if_small
+
 # ---------------------------------------------------------------------------
 # partitioned Bloom seen-prefilter
 # ---------------------------------------------------------------------------
@@ -199,11 +201,16 @@ def seen_filter(candidates: DataFrame, seen: DataFrame | None,
 
 
 def robots_filter(candidates: DataFrame, robots: DataFrame,
-                  longest_match: bool = False) -> DataFrame:
+                  longest_match: bool = False,
+                  est_rows: int | None = None) -> DataFrame:
     """Robots rule matching on the candidate's path.
 
-    Robots rule sets are per-host and tiny -> broadcast join (the reference's
-    side-input pattern, PatternJob.java:200-239). Uses url (raw) path.
+    Robots rule sets are per-host and small *per host* -> broadcast join
+    (the reference's side-input pattern, PatternJob.java:200-239) — but the
+    table grows with DISTINCT HOSTS (10^7-10^8 at north_rule scale), so the
+    hint is size-gated (scaling.broadcast_if_small). ``est_rows`` is the
+    caller-known robots row count (the crawl loop probes once per run);
+    when None a bounded probe decides. Uses url (raw) path.
 
     Default mode: drop candidates whose path starts with any disallow
     prefix (allow rows ignored) — the crawl loop's parity semantics (the
@@ -228,7 +235,7 @@ def robots_filter(candidates: DataFrame, robots: DataFrame,
             F.col("host").alias("r_host"), F.col("prefix")
         )
         joined = candidates.join(
-            F.broadcast(disallow),
+            broadcast_if_small(disallow, est_rows),
             (F.col("host") == F.col("r_host"))
             & path.startswith(F.col("prefix")),
             "left",
@@ -247,7 +254,8 @@ def robots_filter(candidates: DataFrame, robots: DataFrame,
         ).alias("_rules")
     )
     joined = candidates.join(
-        F.broadcast(rule_sets), F.col("host") == F.col("r_host"), "left"
+        broadcast_if_small(rule_sets, est_rows),  # rows <= robots rows
+        F.col("host") == F.col("r_host"), "left",
     )
     matched = F.filter(F.col("_rules"), lambda r: path.startswith(r["prefix"]))
     # longest matching prefix wins; allow breaks prefix-length ties
@@ -260,6 +268,23 @@ def robots_filter(candidates: DataFrame, robots: DataFrame,
         | best["allow"]
     )
     return joined.filter(keep).drop("r_host", "_rules")
+
+
+def host_crawl_delays(robots: DataFrame, default: float = 1.0) -> DataFrame | None:
+    """Per-host Crawl-delay directive parsed from the robots table
+    (north_rule crawl realism — real robots.txt carries one per host, and
+    politeness_budgets divides the refill by it).
+
+    Returns (host, crawl_delay), or None when the robots table carries no
+    ``crawl_delay`` column (legacy prefix-only tables — callers then use
+    ``default`` for every host). Rows with a NULL delay fall back to
+    ``default``; multiple rules per host take the MAX (the conservative,
+    slowest-crawl reading of conflicting directives)."""
+    if "crawl_delay" not in robots.columns:
+        return None
+    return robots.groupBy("host").agg(
+        F.coalesce(F.max("crawl_delay"), F.lit(default)).alias("crawl_delay")
+    )
 
 
 def schedule_top_k(frontier: DataFrame, budget_col, salts: int = 16) -> DataFrame:

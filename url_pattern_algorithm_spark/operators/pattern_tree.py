@@ -21,6 +21,7 @@ from url_pattern_algorithm_spark.kernel.tree import (
     flatten_nodes,
     membership_rows,
 )
+from url_pattern_algorithm_spark.scaling import broadcast_if_small
 
 TREE_SCHEMA = (
     "host string, node_id int, parent_id int, depth int, partition_key string, "
@@ -163,11 +164,16 @@ def leaf_alternations(nodes: DataFrame) -> DataFrame:
     )
 
 
-def match_rate(urls_with_canon: DataFrame, alternations: DataFrame) -> DataFrame:
+def match_rate(urls_with_canon: DataFrame, alternations: DataFrame,
+               est_rows: int | None = None) -> DataFrame:
     """Coverage self-check (Main.java:142-153): fraction of a host's
     canonical URLs matched by the host's leaf alternation regex. Relational:
-    broadcast the tiny per-host pattern table, regexp in codegen."""
-    j = urls_with_canon.join(F.broadcast(alternations), "host")
+    per-host pattern table joined under a size-gated broadcast hint
+    (one row per gated host — tiny post-gate, a hazard at 10^7+ hosts),
+    regexp in codegen. Pass ``est_rows`` when the alternation frame is
+    already counted (plans do); ``None`` probes — persist first if the
+    lineage includes the tree UDF."""
+    j = urls_with_canon.join(broadcast_if_small(alternations, est_rows), "host")
     hit = F.when(
         F.regexp_like(F.col("url_canon"), F.col("patterns")), F.lit(1.0)
     ).otherwise(F.lit(0.0))

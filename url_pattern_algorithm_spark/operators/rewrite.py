@@ -175,20 +175,51 @@ def compression_metric(rewritten: DataFrame, url_col: str = "url",
     )
 
 
-def cluster_rows_from_text(spark: SparkSession, lines: DataFrame) -> DataFrame:
+def cluster_rows_from_text(spark: SparkSession, lines: DataFrame,
+                           rows_per_bucket: int = 1 << 20) -> DataFrame:
     """Cluster text-file scan (InputUtil.java:169-186) as DataFrame ops:
     '#' lines open a new cluster; running cluster id = count of '#' markers
-    up to each row (window sum over the file order). Input: (line_no, line).
-    Clusters without a following '#' terminator are dropped by learn_rules'
-    size gate only if small — note the reference drops the LAST cluster
-    unconditionally; parse_cluster_lines stays bit-faithful, this relational
-    variant keeps a trailing cluster (documented divergence for the
-    distributed path)."""
+    up to each row. Input: (line_no, line). Clusters without a following
+    '#' terminator are dropped by learn_rules' size gate only if small —
+    note the reference drops the LAST cluster unconditionally;
+    parse_cluster_lines stays bit-faithful, this relational variant keeps a
+    trailing cluster (documented divergence for the distributed path).
+
+    Scale shape (r3 verdict item 5 — this was the repo's one remaining
+    single-task stage): the prefix sum runs as TWO passes instead of a
+    global ``Window.orderBy``:
+
+    1. per-BUCKET '#' counts (bucket = line_no // rows_per_bucket — a
+       deterministic range split, no sampling), collected as O(n_lines /
+       rows_per_bucket) rows and prefix-summed on the driver;
+    2. a window partitioned BY BUCKET (parallel per-bucket sorts, never a
+       single-partition exchange) computes the local running count, and a
+       broadcast of the tiny (bucket, offset) table shifts it to the
+       global id.
+    """
     from pyspark.sql.window import Window
 
-    w = Window.orderBy("line_no")
-    tagged = lines.withColumn(
-        "cluster_id", F.sum(F.when(F.col("line") == "#", 1).otherwise(0)).over(w)
+    marker = F.when(F.col("line") == "#", 1).otherwise(0)
+    b = lines.withColumn(
+        "_bucket", F.floor(F.col("line_no") / F.lit(rows_per_bucket))
+    )
+    # pass 1: one small aggregate (O(buckets) rows) -> driver prefix sums
+    counts = sorted(
+        (int(r["_bucket"]), int(r["_n"]))
+        for r in b.groupBy("_bucket").agg(F.sum(marker).alias("_n")).collect()
+    )
+    offsets, acc = [], 0
+    for bucket, n in counts:
+        offsets.append((bucket, acc))
+        acc += n
+    off = spark.createDataFrame(offsets or [(0, 0)],
+                                "_bucket long, _offset long")
+    # pass 2: per-bucket local running count + broadcast offset shift
+    w = Window.partitionBy("_bucket").orderBy("line_no")
+    tagged = (
+        b.join(F.broadcast(off), "_bucket", "left")
+        .na.fill({"_offset": 0})
+        .withColumn("cluster_id", F.sum(marker).over(w) + F.col("_offset"))
     )
     return (
         tagged.filter(F.col("line") != "#")

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from url_pattern_algorithm_spark.scaling import broadcast_if_small
+
 DEFAULT_CAP = 500_000  # PatternJob.java:256
 _PRECISION = 1_000_000
 
@@ -36,13 +38,18 @@ def cap_per_host(
     custom_caps: dict[str, int] | None = None,
     seed: int = 42,
     keep_hash=None,
+    est_hosts: int | None = None,
 ) -> DataFrame:
     """Thin each host to <= ~cap URLs, keeping each row with p = cap/count.
 
     ``custom_caps`` mirrors the hot-host overrides (m.newsmth.net -> 1M etc,
     GarbagePageUrlPatternJob.java:261-266). The keep-decision hashes the URL
-    (never rand()) so reruns and the oracle agree. Counts broadcast-join back
-    (small dimension) — no second shuffle of the fact side.
+    (never rand()) so reruns and the oracle agree. The counts dimension
+    grows with DISTINCT HOSTS: the broadcast hint is size-gated
+    (scaling.broadcast_if_small) — past the threshold the join is left to
+    AQE. ``est_hosts`` supplies a caller-known host cardinality; when None
+    a bounded probe decides (NB the probe evaluates ``urls``' count
+    aggregation once extra — persist an expensive input first).
 
     ``keep_hash`` overrides the keep-decision hash column (must be uniform in
     [0, 1e6)); default is the fast built-in xxhash64. The oracle queries pass
@@ -58,16 +65,21 @@ def cap_per_host(
         cap_col = F.lit(cap)
     if keep_hash is None:
         keep_hash = F.pmod(F.xxhash64(F.col("url"), F.lit(seed)), F.lit(_PRECISION))
-    joined = urls.join(F.broadcast(counts), "host")
+    joined = urls.join(broadcast_if_small(counts, est_hosts), "host")
     p = F.least(F.lit(1.0), cap_col / F.col("host_count"))
     keep = keep_hash < (p * _PRECISION)
     return joined.filter(keep).drop("host_count")
 
 
-def gate_min_host_size(urls: DataFrame, min_size: int) -> DataFrame:
-    """Keep only hosts with >= min_size URLs (reducer early-return gates)."""
+def gate_min_host_size(urls: DataFrame, min_size: int,
+                       est_hosts: int | None = None) -> DataFrame:
+    """Keep only hosts with >= min_size URLs (reducer early-return gates).
+    The qualifying-host dimension is size-gated like cap_per_host's."""
     counts = host_counts(urls).filter(F.col("host_count") >= min_size)
-    return urls.join(F.broadcast(counts.select("host")), "host", "left_semi")
+    return urls.join(
+        broadcast_if_small(counts.select("host"), est_hosts), "host",
+        "left_semi",
+    )
 
 
 def train_test_split(urls: DataFrame, train_frac: float = 0.75,

@@ -47,11 +47,16 @@ from url_pattern_algorithm_spark.functions.links import extract_normalize_udf
 from url_pattern_algorithm_spark.functions.udfs import with_url_columns
 from url_pattern_algorithm_spark.operators.frontier import (
     build_bloom,
+    host_crawl_delays,
     politeness_budgets,
     robots_filter,
     schedule_top_k,
     seen_filter,
     update_blooms,
+)
+from url_pattern_algorithm_spark.scaling import (
+    BROADCAST_MAX_ROWS,
+    broadcast_if_small,
 )
 from url_pattern_algorithm_spark.sources.catalog import Catalog
 from url_pattern_algorithm_spark.sources.synthetic import _mix
@@ -103,6 +108,19 @@ DEFAULT_POLITENESS = Politeness()
 
 PENDING_COLS = ["url", "url_canon", "url_hash", "host", "priority", "discovered_iter"]
 SEEN_COLS = ["url_hash", "url_canon", "first_iter"]
+
+
+def _with_crawl_delay(hosts: DataFrame, delays: DataFrame | None,
+                      est_robots: int | None) -> DataFrame:
+    """+ ``crawl_delay`` on a (host, ...) frame: the per-host robots
+    Crawl-delay when the table carries one (size-gated broadcast join,
+    hosts without a directive default to 1.0), else the 1.0 constant."""
+    if delays is None:
+        return hosts.withColumn("crawl_delay", F.lit(1.0))
+    return (
+        hosts.join(broadcast_if_small(delays, est_robots), "host", "left")
+        .na.fill({"crawl_delay": 1.0})
+    )
 
 
 def fetch_doc_index_udf(n_docs: int):
@@ -175,6 +193,34 @@ def compact_seen(cat: Catalog, upto: int, n_buckets: int = 64) -> None:
     cat.rewrite("seen", collapse, partition_by=["epoch", "bucket"])
 
 
+def prune_checkpoint_history(cat: Catalog, upto: int) -> list[str]:
+    """Drop per-iteration state snapshots made dead by ``compact_seen(upto)``.
+
+    run_crawl refuses resumes below the compaction watermark, so snapshots
+    before it are unreachable dead weight — without pruning a 10^5-iteration
+    crawl leaves 4x10^5 checkpoint dirs. Drops ``bloom_N`` / ``pending_N`` /
+    ``host_state_N`` for N < upto (N == upto is the live resume point) and
+    ``scheduled_N`` for N <= upto (scheduled is write-only w.r.t. later
+    iterations — it is the per-iteration OUTPUT log; callers that consume it
+    downstream should copy batches out before the compaction cadence, or
+    run with ``prune_history=False``). Returns the dropped table names.
+    """
+    dropped = []
+    for name in cat.table_names():
+        base = name.split("__compact_", 1)[0]
+        for prefix in ("bloom_", "pending_", "host_state_", "scheduled_"):
+            if base.startswith(prefix):
+                try:
+                    n = int(base[len(prefix):])
+                except ValueError:
+                    continue
+                limit = upto + 1 if prefix == "scheduled_" else upto
+                if n < limit:
+                    cat.drop(name)
+                    dropped.append(name)
+    return dropped
+
+
 def compaction_watermark(cat: Catalog) -> int:
     """Latest compacted-through iteration (-1 if never compacted)."""
     if not cat.exists("_compaction"):
@@ -197,10 +243,16 @@ def _write_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int,
     import os
 
     os.makedirs(cat.root, exist_ok=True)
-    with open(os.path.join(cat.root, "_run_meta.json"), "w") as f:
+    # meta is rewritten after EVERY iteration: write-to-temp + atomic
+    # os.replace so a crash mid-write can't leave truncated JSON that
+    # blocks the resume path
+    final = os.path.join(cat.root, "_run_meta.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"bloom_buckets": bloom_buckets,
                    "bloom_m_bits": bloom_m_bits,
                    "last_iteration": last_iteration}, f)
+    os.replace(tmp, final)
 
 
 def _check_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int,
@@ -212,7 +264,15 @@ def _check_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int,
     if not os.path.exists(path):
         return  # pre-meta checkpoint dirs stay resumable
     with open(path) as f:
-        meta = json.load(f)
+        try:
+            meta = json.load(f)
+        except json.JSONDecodeError as e:
+            raise ValueError(
+                f"corrupt {path} ({e}): the run meta is written atomically "
+                "(temp + os.replace), so this checkpoint root predates that "
+                "fix or was damaged externally — delete the file to resume "
+                "an otherwise-intact checkpoint (parameters then unchecked)"
+            ) from e
     if (meta.get("bloom_buckets") != bloom_buckets
             or meta.get("bloom_m_bits") != bloom_m_bits):
         raise ValueError(
@@ -242,15 +302,16 @@ def _read_blooms(cat: Catalog, iteration: int, n_buckets: int,
     return build_bloom(read_seen(cat, iteration), n_buckets, m_bits=m_bits)
 
 
-def _with_hbucket(pending: DataFrame) -> DataFrame:
+def _with_hbucket(pending: DataFrame,
+                  hbuckets: int = PENDING_HBUCKETS) -> DataFrame:
     """Host-hash partition column + repartition on it: the repartition
     bounds the partitioned write at one file per hbucket dir (without it,
     every write task emits a file into every dir it touches — tasks x dirs
     small files per snapshot)."""
     return pending.withColumn(
         "hbucket",
-        F.pmod(F.xxhash64("host"), F.lit(PENDING_HBUCKETS)).cast("int"),
-    ).repartition(PENDING_HBUCKETS, "hbucket")
+        F.pmod(F.xxhash64("host"), F.lit(hbuckets)).cast("int"),
+    ).repartition(hbuckets, "hbucket")
 
 
 def _new_frontier_rows(
@@ -261,18 +322,21 @@ def _new_frontier_rows(
     blooms: DataFrame | None,
     discovered_iter: int,
     bloom_buckets: int = 64,
+    est_robots: int | None = None,
 ) -> DataFrame:
     """candidates -> normalized, robots-filtered, unseen, deduped rows.
 
     Accepts either raw (url) rows or pre-normalized (url, url_canon, host)
     rows from the fused extract+normalize UDF (one Arrow pass on the hot
-    path)."""
+    path). ``est_robots``: robots row count threaded from run_crawl's
+    once-per-run probe so the robots broadcast size gate costs no
+    per-iteration job."""
     if "url_canon" not in raw_candidates.columns:
         cand = with_url_columns(raw_candidates)
     else:
         cand = raw_candidates.withColumn("url_hash", F.xxhash64("url_canon"))
     cand = cand.filter(F.col("url_canon").isNotNull())
-    cand = robots_filter(cand, robots)
+    cand = robots_filter(cand, robots, est_rows=est_robots)
     cand = seen_filter(cand, seen, blooms, bloom_buckets)
     # batch-internal dedup on the canonical hash; deterministic representative
     dedup = cand.groupBy("url_hash").agg(
@@ -300,10 +364,17 @@ def init_state(
     use_bloom: bool = True,
     bloom_buckets: int = 64,
     bloom_m_bits: int = BLOOM_M_BITS,
+    est_robots: int | None = None,
+    stats: dict | None = None,
+    hbuckets: int = PENDING_HBUCKETS,
+    delays: DataFrame | None = None,
 ) -> None:
-    """Iteration 0: seed list -> pending snapshot + seen delta + bloom_0."""
+    """Iteration 0: seed list -> pending snapshot + seen delta + bloom_0.
+
+    ``stats`` (when given) receives ``n_hosts`` = host_state_0 row count,
+    which run_crawl threads into iteration 1's politeness size gate."""
     cand = with_url_columns(seeds).filter(F.col("url_canon").isNotNull())
-    cand = robots_filter(cand, robots)
+    cand = robots_filter(cand, robots, est_rows=est_robots)
     pending = cand.groupBy("url_hash").agg(
         F.min("url").alias("url"),
         F.min("url_canon").alias("url_canon"),
@@ -316,7 +387,7 @@ def init_state(
     # same pattern as run_iteration's state writes.
     pending = pending.persist()
     cat.write_checkpoint(
-        _with_hbucket(pending), "pending_0", run_id, 0,
+        _with_hbucket(pending, hbuckets), "pending_0", run_id, 0,
         partition_by=["hbucket"],
     )
 
@@ -330,13 +401,17 @@ def init_state(
         cat.write_checkpoint(bloom0.coalesce(4), "bloom_0", run_id, 0)
 
     def write_host_state() -> None:
-        host_state = pending.select("host").distinct().select(
+        host_state = _with_crawl_delay(
+            pending.select("host").distinct(), delays, est_robots
+        ).select(
             "host",
             F.lit(pol.tokens_init).alias("tokens"),
             F.lit(0).alias("last_iter"),
-            F.lit(1.0).alias("crawl_delay"),
+            "crawl_delay",
         )
-        cat.write_checkpoint(host_state, "host_state_0", run_id, 0)
+        n = cat.write_checkpoint(host_state, "host_state_0", run_id, 0)
+        if stats is not None:
+            stats["n_hosts"] = n
 
     writers = [write_seen, write_host_state]
     if use_bloom:
@@ -359,9 +434,21 @@ def run_iteration(
     bloom_buckets: int = 64,
     bloom_m_bits: int = BLOOM_M_BITS,
     pol: Politeness = DEFAULT_POLITENESS,
+    est_hosts: int | None = None,
+    est_robots: int | None = None,
+    stats: dict | None = None,
+    hbuckets: int = PENDING_HBUCKETS,
+    delays: DataFrame | None = None,
 ) -> int:
     """Advance one iteration from state as of ``iteration-1``; returns the
-    number of scheduled URLs."""
+    number of scheduled URLs.
+
+    ``est_hosts``/``est_robots``: known dimension cardinalities for the
+    politeness/robots broadcast size gates (run_crawl threads the previous
+    iteration's host_state write count and a once-per-run robots probe, so
+    warm iterations pay zero extra jobs; ``None`` falls back to a bounded
+    probe). ``stats`` (when given) receives ``n_hosts`` = this iteration's
+    host_state row count for the next iteration's gate."""
     prev = iteration - 1
     pending = cat.read(f"pending_{prev}").select(*PENDING_COLS)
     seen = read_seen(cat, prev).select("url_hash")
@@ -371,7 +458,13 @@ def run_iteration(
 
     # 1. politeness budgets + salted priority top-k
     budgets = politeness_budgets(host_state, pol.refill, pol.tokens_cap)
-    frontier = pending.join(F.broadcast(budgets), "host", "inner")
+    # size-gated: at 10^8 hosts a forced broadcast of every known host's
+    # budget would exceed the 8 GB cap; past the gate AQE plans the
+    # equi-join (budgets is a pure projection of host_state, so the
+    # threaded host_state count IS the budgets count)
+    frontier = pending.join(
+        broadcast_if_small(budgets, est_hosts), "host", "inner"
+    )
     scheduled = schedule_top_k(frontier, F.col("budget"), salts=salts)
     scheduled = scheduled.persist()
     n_scheduled = cat.write_checkpoint(
@@ -410,7 +503,8 @@ def run_iteration(
         else None
     )
     new_rows = _new_frontier_rows(
-        spark, raw_candidates, robots, seen, blooms, iteration, bloom_buckets
+        spark, raw_candidates, robots, seen, blooms, iteration, bloom_buckets,
+        est_robots=est_robots,
     )
     # the candidate pipeline (links UDF -> normalize UDF -> robots -> seen
     # filter -> dedup shuffle) feeds pending_N, the seen delta, bloom_N and
@@ -431,8 +525,8 @@ def run_iteration(
         ).select(*PENDING_COLS)
         next_pending = remaining.unionByName(new_rows.select(*PENDING_COLS))
         cat.write_checkpoint(
-            _with_hbucket(next_pending), f"pending_{iteration}", run_id,
-            iteration, partition_by=["hbucket"],
+            _with_hbucket(next_pending, hbuckets), f"pending_{iteration}",
+            run_id, iteration, partition_by=["hbucket"],
         )
 
     def write_bloom() -> None:
@@ -446,23 +540,25 @@ def run_iteration(
         )
 
     def write_host_state() -> None:
-        new_hosts = (
+        new_hosts = _with_crawl_delay(
             new_rows.select("host").distinct()
-            .join(new_host_state.select("host"), "host", "left_anti")
-            .select(
-                "host",
-                F.lit(pol.tokens_init).alias("tokens"),
-                F.lit(iteration).alias("last_iter"),
-                F.lit(1.0).alias("crawl_delay"),
-            )
+            .join(new_host_state.select("host"), "host", "left_anti"),
+            delays, est_robots,
+        ).select(
+            "host",
+            F.lit(pol.tokens_init).alias("tokens"),
+            F.lit(iteration).alias("last_iter"),
+            "crawl_delay",
         )
-        cat.write_checkpoint(
+        n = cat.write_checkpoint(
             new_host_state.select("host", "tokens", "last_iter", "crawl_delay")
             .unionByName(new_hosts),
             f"host_state_{iteration}",
             run_id,
             iteration,
         )
+        if stats is not None:
+            stats["n_hosts"] = n
 
     writers = [write_pending, write_host_state]
     if use_bloom:
@@ -489,7 +585,9 @@ def run_crawl(
     bloom_buckets: int | None = 64,
     bloom_m_bits: int | None = BLOOM_M_BITS,
     compact_every: int = 0,
+    prune_history: bool = False,
     pol: Politeness = DEFAULT_POLITENESS,
+    pending_hbuckets: int | None = None,
 ) -> dict[int, int]:
     """Run (or resume) the crawl; returns {iteration: n_scheduled}.
 
@@ -497,21 +595,32 @@ def run_crawl(
     byte-identical continuation (F6 resume test; the seen delta write is
     idempotent, so a re-run of iteration k+1 overwrites exactly its own
     epoch). ``compact_every=K`` collapses seen epochs every K iterations.
+    ``prune_history=True`` additionally drops the per-iteration snapshots
+    compaction made unreachable (prune_checkpoint_history) — the long-crawl
+    retention mode: the checkpoint root then holds O(1) snapshot tables per
+    state kind instead of one per iteration forever. Off by default because
+    it also drops the scheduled_N output log through the watermark.
 
     ``bloom_buckets=None`` / ``bloom_m_bits=None`` derive both from the
     ``n_docs`` universe estimate (scaling.derive_bloom_*): at the 10^10-URL
     north_rule scale that lands on 4096 buckets x 2^25-bit bitmaps; the
-    sandbox sizes clamp down to the tested constants.
+    sandbox sizes clamp down to the tested constants. ``pending_hbuckets``
+    (the pending snapshots' host-hash partition count) likewise derives from
+    ``n_docs`` by default — 8192 dirs at 10^10, the 16 sandbox constant
+    below ~10^7.
     """
     from url_pattern_algorithm_spark.scaling import (
         derive_bloom_buckets,
         derive_bloom_m_bits,
+        derive_pending_hbuckets,
     )
 
     if bloom_buckets is None:
         bloom_buckets = derive_bloom_buckets(n_docs)
     if bloom_m_bits is None:
         bloom_m_bits = derive_bloom_m_bits(n_docs, bloom_buckets)
+    if pending_hbuckets is None:
+        pending_hbuckets = derive_pending_hbuckets(n_docs)
     cat = Catalog(spark, ckpt_root)
     if "doc_index" not in docs.columns:
         docs = docs.withColumn(
@@ -520,6 +629,15 @@ def run_crawl(
         )
     counts: dict[int, int] = {}
     start = 1
+    # one bounded probe per RUN sizes the robots broadcast gate for every
+    # iteration; the politeness gate is sized by threading each iteration's
+    # host_state write count into the next (est_hosts). A resume's first
+    # iteration has no threaded count and probes once.
+    est_robots = robots.limit(BROADCAST_MAX_ROWS + 1).count()
+    est_hosts: int | None = None
+    # per-host Crawl-delay directives (None when the robots table has no
+    # crawl_delay column — every host then refills at the 1.0 default)
+    delays = host_crawl_delays(robots)
     if resume_from is None:
         # fresh run: wipe EVERYTHING a crawl writes — the append-style
         # tables (seen, blooms, compaction watermark, metrics) would
@@ -537,9 +655,13 @@ def run_crawl(
                                         "host_state_", "scheduled_"))):
                 cat.drop(name)
         _write_run_meta(cat, bloom_buckets, bloom_m_bits)
+        init_stats: dict = {}
         init_state(spark, seeds, robots, cat, run_id, pol,
                    use_bloom=use_bloom, bloom_buckets=bloom_buckets,
-                   bloom_m_bits=bloom_m_bits)
+                   bloom_m_bits=bloom_m_bits, est_robots=est_robots,
+                   stats=init_stats, hbuckets=pending_hbuckets,
+                   delays=delays)
+        est_hosts = init_stats.get("n_hosts")
     else:
         _check_run_meta(cat, bloom_buckets, bloom_m_bits, resume_from)
         wm = compaction_watermark(cat)
@@ -551,11 +673,17 @@ def run_crawl(
             )
         start = resume_from + 1
     for it in range(start, iterations + 1):
+        it_stats: dict = {}
         counts[it] = run_iteration(
             spark, docs, robots, cat, run_id, it, n_docs, salts, use_bloom,
             bloom_buckets=bloom_buckets, bloom_m_bits=bloom_m_bits, pol=pol,
+            est_hosts=est_hosts, est_robots=est_robots, stats=it_stats,
+            hbuckets=pending_hbuckets, delays=delays,
         )
+        est_hosts = it_stats.get("n_hosts")
         _write_run_meta(cat, bloom_buckets, bloom_m_bits, it)
         if compact_every and it % compact_every == 0:
             compact_seen(cat, it, bloom_buckets)
+            if prune_history:
+                prune_checkpoint_history(cat, it)
     return counts

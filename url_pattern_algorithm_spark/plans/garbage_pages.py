@@ -33,6 +33,7 @@ from url_pattern_algorithm_spark.operators.sampling import (
     gate_min_host_size,
     train_test_split,
 )
+from url_pattern_algorithm_spark.scaling import broadcast_if_small
 from url_pattern_algorithm_spark.session import persist_tracked
 
 
@@ -71,14 +72,21 @@ def garbage_page_plan(
     # set, not the shuffle's delivery order
     nodes = build_trees(train.select("host", "url"),
                         min_host_urls=min_host_urls, example_cap=example_cap,
-                        sort_urls=True)
-    alts = leaf_alternations(nodes)
-    rates = match_rate(train.select("host", "url_canon"), alts)
+                        sort_urls=True).persist()
+    # persist + count: alts feeds THREE scans (train match-rate, test-side
+    # counts, the final pattern join) — without it each one re-runs the
+    # tree UDF through leaf_alternations' node self-joins. The count also
+    # supplies the size gate for the broadcast hints below (zero extra jobs).
+    alts = persist_tracked(leaf_alternations(nodes))
+    n_alts = alts.count()
+    nodes.unpersist()
+    rates = match_rate(train.select("host", "url_canon"), alts,
+                       est_rows=n_alts)
     kept = rates.filter(F.col("match_rate") >= gate)
     test = split.filter(~F.col("is_train"))
     hit = F.regexp_like(F.col("url_canon"), F.col("patterns"))
     test_counts = (
-        test.join(F.broadcast(alts), "host")
+        test.join(broadcast_if_small(alts, n_alts), "host")
         .groupBy("host")
         .agg(
             F.count("*").alias("n_test"),

@@ -76,13 +76,15 @@ def theme_page_plan(
     # it goes through the tracked registry — released when the caller's
     # next registry query starts instead of leaking for the session
     alts = persist_tracked(leaf_alternations(nodes))
-    alts.count()
+    n_alts = alts.count()
     nodes.unpersist()
     if "url_canon" in pages.columns:
         pages_c = pages
     else:
         pages_c = pages.withColumn("url_canon", normalize_url_udf(F.col("url")))
-    classified = classify_regex(pages_c, alts)
+    # n_alts rides the materializing count above: the classify join's
+    # broadcast hint is size-gated with zero extra jobs
+    classified = classify_regex(pages_c, alts, est_rows=n_alts)
     if cat is not None:
         cat.write_checkpoint(alts, f"theme_patterns_{iteration}", run_id,
                              iteration)

@@ -47,6 +47,7 @@ from url_pattern_algorithm_spark.operators.rewrite import (
     compression_metric,
     learn_rules,
 )
+from url_pattern_algorithm_spark.scaling import broadcast_if_small
 from url_pattern_algorithm_spark.session import (
     persist_tracked,
     release_persisted,
@@ -215,13 +216,15 @@ def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pri").cast("double").alias("priority"),
         F.xxhash64("url_canon").alias("url_hash"),
     )
-    host_state = pending.select("host").distinct().select(
+    # persist the host dimension: the size-gate probe materializes it, the
+    # join reuses the cache (the canon lineage runs once per side either way)
+    host_state = _persist(pending.select("host").distinct().select(
         "host",
         F.lit(2.5).alias("tokens"),
         F.lit(1.0).alias("crawl_delay"),
-    )
+    ))
     budgets = politeness_budgets(host_state, refill=1.0, cap=4.0)
-    frontier = pending.join(F.broadcast(budgets), "host")
+    frontier = pending.join(broadcast_if_small(budgets), "host")
     sched = schedule_top_k(frontier, F.col("budget"), salts=16)
     return sched.select(
         "host", "url_canon", F.col("priority").cast("long").alias("priority"),
@@ -289,6 +292,44 @@ WITH hs AS (
 SELECT host, round(least(4.0, tokens + 1.0 / crawl_delay), 6) AS tokens_avail,
        CAST(floor(least(4.0, tokens + 1.0 / crawl_delay)) AS INT) AS budget
 FROM hs
+"""
+
+
+def q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay directive parsing (north_rule crawl realism): per-host
+    MAX over robots rows (host_crawl_delays), flowed through the politeness
+    token-bucket refill — budgets diverge across non-uniform delays."""
+    from url_pattern_algorithm_spark.operators.frontier import (
+        host_crawl_delays,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    robots = c.select(
+        F.concat(F.lit("www.host"), (F.col("c_custkey") % 40).cast("string"),
+                 F.lit(".com")).alias("host"),
+        F.concat(F.lit("/p"), (F.col("c_custkey") % 4).cast("string")).alias("prefix"),
+        F.lit(False).alias("allow"),
+        (1.0 + (F.col("c_custkey") % 3)).alias("crawl_delay"),
+    )
+    delays = host_crawl_delays(robots)
+    hs = delays.select("host", F.lit(2.0).alias("tokens"), "crawl_delay")
+    b = politeness_budgets(hs, refill=1.0, cap=4.0)
+    return b.select("host", F.round("tokens_avail", 6).alias("tokens_avail"),
+                    "budget")
+
+
+SQL_ROBOTS_CRAWL_DELAY = """
+WITH robots AS (
+  SELECT 'www.host' || (c_custkey % 40) || '.com' AS host,
+         1.0 + (c_custkey % 3) AS crawl_delay
+  FROM customer
+), d AS (
+  SELECT host, max(crawl_delay) AS crawl_delay FROM robots GROUP BY host
+)
+SELECT host,
+       round(least(4.0, 2.0 + 1.0 / crawl_delay), 6) AS tokens_avail,
+       CAST(floor(least(4.0, 2.0 + 1.0 / crawl_delay)) AS INT) AS budget
+FROM d
 """
 
 
@@ -526,14 +567,16 @@ def q_pattern_match_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Main.java:142-153): per-host alternation matched in codegen."""
     canon = _canon_df(spark, sf_dir)
     hostnum = F.regexp_extract(F.col("host"), r"www\.host(\d+)\.com", 1)
-    alternations = canon.select("host").distinct().select(
+    # persisted: the size-gate probe materializes the dimension, the join
+    # reuses the cache instead of re-running the canon lineage
+    alternations = _persist(canon.select("host").distinct().select(
         "host",
         F.concat(
             F.lit(r"^http://www\.host"), hostnum,
             F.lit(r"\.com/cat[0-3]/.*"),
         ).alias("patterns"),
         F.lit(1).alias("n_leaves"),
-    )
+    ))
     pages = canon.select("host", "url_canon")
     out = classify_regex(pages, alternations)
     return out.groupBy("host", "page_type").agg(F.count("*").alias("n"))
@@ -2002,6 +2045,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_schedule": q_frontier_schedule,
     "url_seen_antijoin": q_url_seen_antijoin,
     "politeness_budget": q_politeness_budget,
+    "robots_crawl_delay": q_robots_crawl_delay,
     "robots_filter": q_robots_filter,
     "host_counts": q_host_counts,
     "url_sample_cap": q_url_sample_cap,
@@ -2052,6 +2096,7 @@ ORACLES: dict[str, str] = {
     "frontier_schedule": SQL_FRONTIER_SCHEDULE,
     "url_seen_antijoin": SQL_URL_SEEN_ANTIJOIN,
     "politeness_budget": SQL_POLITENESS_BUDGET,
+    "robots_crawl_delay": SQL_ROBOTS_CRAWL_DELAY,
     "robots_filter": SQL_ROBOTS_FILTER,
     "host_counts": SQL_HOST_COUNTS,
     "url_sample_cap": SQL_URL_SAMPLE_CAP,

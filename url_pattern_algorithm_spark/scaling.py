@@ -14,7 +14,8 @@ Documented targets (pinned by tests/test_scaling.py):
   each cogroup task holds one ~4 MiB bitmap slice
   (operators/frontier.py:49-62,132-144);
 - ``derive_bloom_m_bits(10**10, 4096)`` == 2**25 — ~13 bits/key in the
-  bucket (fp well under 1% with the 5-hash scheme);
+  bucket (fp ~0.2% with the 7-hash scheme, operators/frontier.py
+  BLOOM_HASHES);
 - ``derive_n_planes(10**9)`` == 18 — LSH bucket occupancy ~4096 rows, so
   a bucket self-join stays ~10^7 pairs, not quadratic in the corpus
   (operators/similarity.py lsh_buckets);
@@ -55,7 +56,8 @@ def derive_bloom_m_bits(n_keys: int, n_buckets: int,
                         bits_per_key: int = 10) -> int:
     """Fixed per-bucket bitmap size for the incremental OR-merge mode:
     next power of two over ``bits_per_key`` x the expected keys per
-    bucket (~1% fp at 10 bits/key with the 5-hash scheme)."""
+    bucket (~0.8% fp at 10 bits/key with the 7-hash scheme,
+    operators/frontier.py BLOOM_HASHES; tests/test_bloom.py measures it)."""
     per_bucket = max(n_keys / max(n_buckets, 1), 1.0)
     return _pow2_ceil(per_bucket * bits_per_key, 1 << 17, 1 << 28)
 
@@ -76,3 +78,40 @@ def derive_pending_hbuckets(n_pending: int,
     partition file per ~1.2M rows, so partitioned writes stay
     O(hbuckets) files and each resume read-task gets a full slice."""
     return _pow2_round(n_pending / rows_per_bucket, 16, 32768)
+
+
+# Size gate for forced-broadcast hints on host-cardinality dimensions.
+# ~100 B/row for a (host, few numerics) dimension puts 2M rows near
+# 200 MB broadcast — comfortably inside executor memory and far under
+# Spark's 8 GB broadcast hard cap. Past this, the hint is dropped and the
+# (equi-)join strategy is left to AQE / autoBroadcastJoinThreshold.
+BROADCAST_MAX_ROWS = 2_000_000
+
+
+def broadcast_if_small(df, est_rows: int | None = None,
+                       max_rows: int = BROADCAST_MAX_ROWS):
+    """Size-gated ``F.broadcast`` hint for dimension tables that grow with
+    DISTINCT-HOST cardinality (politeness budgets, robots rule sets,
+    per-host counts, leaf alternations). At the north_rule's 10^10-URL
+    scale these reach 10^7-10^8 rows — a forced hint there is a multi-GB
+    broadcast that OOMs the driver or hits the 8 GB cap, while under the
+    threshold the hint saves the fact-side shuffle the static planner
+    can't always avoid (the dimension's own size estimate is unknown
+    before its aggregation runs).
+
+    - ``est_rows`` given: a caller-known cardinality (the crawl loop's
+      tracked host count, a checkpoint write count) — no extra Spark job.
+    - ``est_rows is None``: a bounded probe ``df.limit(max_rows+1).count()``
+      decides (the apply_rules pattern, operators/rewrite.py). NB the probe
+      evaluates ``df``'s lineage once in addition to the join — persist an
+      expensive dimension before calling (the plans do).
+
+    All call sites are equi-joins, so the un-hinted fallback (AQE picks
+    shuffle-hash / sort-merge, converting back to broadcast at runtime if
+    the dimension turns out tiny) is always a valid plan.
+    """
+    from pyspark.sql import functions as F
+
+    if est_rows is None:
+        est_rows = df.limit(max_rows + 1).count()
+    return F.broadcast(df) if est_rows <= max_rows else df

@@ -47,7 +47,15 @@ class Catalog:
         final = self.path(name)
         old = self.path(f"{name}__compact_old")
         if not os.path.isdir(final) and os.path.isdir(old):
-            os.rename(old, final)
+            # two concurrent readers (the crawl's writer threads, or two
+            # sessions on one root) can both pass the isdir checks; the
+            # loser's rename raises after the winner already healed the
+            # table — tolerate it and let the final isdir re-check decide
+            try:
+                os.rename(old, final)
+            except OSError:
+                if not os.path.isdir(final):
+                    raise
 
     def read(self, name: str) -> DataFrame:
         self._recover(name)

@@ -189,24 +189,26 @@ def seeds_df(spark: SparkSession, n_hosts: int = 8) -> DataFrame:
     return spark.createDataFrame(rows, "url string, priority double")
 
 
-def robots_df(spark: SparkSession, n_hosts: int = 8) -> DataFrame:
+def robots_df(spark: SparkSession, n_hosts: int = 8,
+              with_delays: bool = False) -> DataFrame:
     """Synthetic robots rules (F2): '/private' disallowed everywhere; hot
-    host additionally disallows '/list'."""
-    rows = []
-    for h in range(n_hosts):
-        host = f"site{h}.example.com"
-        rows.append((host, "/private", False))
-        if h == 0:
-            rows.append((host, "/list", False))
-    return spark.createDataFrame(rows, "host string, prefix string, allow boolean")
+    host additionally disallows '/list'. ``with_delays=True`` adds the
+    per-host Crawl-delay directive column (1.0 + h % 3 — non-uniform, so
+    politeness budgets diverge across hosts)."""
+    rows = robots_rules(n_hosts, with_delays)
+    schema = "host string, prefix string, allow boolean"
+    if with_delays:
+        schema += ", crawl_delay double"
+    return spark.createDataFrame(rows, schema)
 
 
-def robots_rules(n_hosts: int = 8) -> list[tuple[str, str, bool]]:
+def robots_rules(n_hosts: int = 8, with_delays: bool = False) -> list[tuple]:
     """Driver-side copy of the same rules (for the oracle / broadcast)."""
-    rows = []
+    rows: list[tuple] = []
     for h in range(n_hosts):
         host = f"site{h}.example.com"
-        rows.append((host, "/private", False))
+        delay = (1.0 + h % 3,) if with_delays else ()
+        rows.append((host, "/private", False) + delay)
         if h == 0:
-            rows.append((host, "/list", False))
+            rows.append((host, "/list", False) + delay)
     return rows
