@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from url_pattern_algorithm_spark.scaling import broadcast_if_small
+
 from url_pattern_algorithm_spark.functions.udfs import tokenize_light_udf
 
 
@@ -78,13 +80,16 @@ def key_entropy(kv: DataFrame, fold: bool = True) -> DataFrame:
     )
 
 
-def key_support(kv: DataFrame, urls_per_host: DataFrame) -> DataFrame:
+def key_support(kv: DataFrame, urls_per_host: DataFrame,
+                est_hosts: int | None = None) -> DataFrame:
     """(host, key, support) where support = fraction of the host's URLs
-    containing the key at least once."""
+    containing the key at least once. The per-host totals dimension grows
+    with DISTINCT HOSTS -> size-gated broadcast hint (r3 verdict class;
+    past the gate the equi-join is left to AQE)."""
     per_key = kv.groupBy("host", "key").agg(
         F.countDistinct("url").alias("n_urls_with_key")
     )
-    return per_key.join(F.broadcast(urls_per_host), "host").select(
+    return per_key.join(broadcast_if_small(urls_per_host, est_hosts), "host").select(
         "host", "key",
         (F.col("n_urls_with_key") / F.col("n_urls")).alias("support"),
     )
@@ -105,7 +110,7 @@ def common_keys(kv: DataFrame) -> DataFrame:
         F.countDistinct("url").alias("n_with")
     )
     return (
-        per_key.join(F.broadcast(n_urls), "host")
+        per_key.join(broadcast_if_small(n_urls), "host")
         .filter(F.col("n_with") == F.col("n_urls"))
         .select("host", "key")
     )
@@ -165,7 +170,7 @@ def most_frequent_key(
             Window.partitionBy("host").orderBy(F.col("c").desc(), F.col("key"))
         ),
     ).filter(F.col("rn") == 1)
-    out = ranked.join(F.broadcast(n_urls), "host").withColumn(
+    out = ranked.join(broadcast_if_small(n_urls), "host").withColumn(
         "ratio", F.col("c") / F.col("n_urls")
     )
     keep = F.col("ratio") > min_ratio

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from url_pattern_algorithm_spark.scaling import broadcast_if_small
+
 
 def node_pair_overlap(
     clusters: DataFrame,
@@ -42,9 +44,11 @@ def node_pair_overlap(
     s1 = node_sizes.select(F.col("node_id").alias("n1"), F.col("size").alias("s1"))
     s2 = node_sizes.select(F.col("node_id").alias("n2"), F.col("size").alias("s2"))
     pruned = (
-        pairs.join(F.broadcast(csize), "cluster_id")
-        .join(F.broadcast(s1), "n1")
-        .join(F.broadcast(s2), "n2")
+        # cluster/node-size dims grow with hosts x nodes at web scale ->
+        # size-gated hints (r3 verdict class; bounded probe, AQE fallback)
+        pairs.join(broadcast_if_small(csize), "cluster_id")
+        .join(broadcast_if_small(s1), "n1")
+        .join(broadcast_if_small(s2), "n2")
         # upper bound |cluster|/(s1+s2) — prune before touching url rows
         .filter(F.col("c_size") / (F.col("s1") + F.col("s2")) >= threshold)
     )
@@ -96,8 +100,8 @@ def key_mapping_argmax(
     rated = (
         combos.join(shared, ["s", "t", "key1", "key2"], "left")
         .na.fill({"shared": 0})
-        .join(F.broadcast(zs), "s")
-        .join(F.broadcast(zt), "t")
+        .join(broadcast_if_small(zs), "s")
+        .join(broadcast_if_small(zt), "t")
         .withColumn(
             "rate",
             F.col("shared") / (F.col("size_s") + F.col("size_t") - F.col("shared")),

@@ -753,6 +753,122 @@ def q_leaf_alternations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leaf_alternations(nodes)
 
 
+def q_pattern_tree_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant oracle for the sf-scaled tree recursion (r3 verdict item
+    6). The full node table has no SQL equivalent (UDF recursion; the
+    closed-form twin ``pattern_tree_fixed`` pins exact shape on the pinned
+    corpus), but these per-host facts ARE independently statable in SQL:
+    the gated host set and each root's url_count equal the corpus counts
+    (real data equality vs DuckDB), and the structural invariants of
+    Fun.buildPatternTree hold (stated TRUE by the oracle — any violation
+    flips the Spark side to false and reds the row): every non-root node
+    holds >= 30 URLs (keyed splits gate at min_tree_size >= 30,
+    Fun.java:250-264; '/?'/presence splits at > 30, Fun.java:104-129,
+    272-300); children are disjoint subsets of their parent (sum <=
+    parent); leaves are disjoint (sum <= corpus); node ids are
+    creation-dense with >= 1 leaf. Order-insensitive by construction, so
+    no sort_urls pin is needed."""
+    canon = _persist(
+        _canon_df(spark, sf_dir).select("host", F.col("url_canon").alias("url"))
+    )
+    nodes = _persist(build_trees(canon, min_host_urls=50))
+    parents = nodes.select("host", F.col("node_id").alias("parent_id"),
+                           F.col("url_count").alias("p_urls"))
+    ksum = (
+        nodes.filter(F.col("parent_id").isNotNull())
+        .groupBy("host", "parent_id").agg(F.sum("url_count").alias("k_urls"))
+    )
+    ok_children = (
+        ksum.join(parents, ["host", "parent_id"])
+        .groupBy("host")
+        .agg(F.min((F.col("k_urls") <= F.col("p_urls")).cast("int")).alias("_ok"))
+        .select("host", (F.col("_ok") == 1).alias("children_within_parent"))
+    )
+    per = nodes.groupBy("host").agg(
+        F.count("*").alias("n_nodes"),
+        F.max("node_id").alias("max_id"),
+        F.sum(F.when(F.col("is_leaf"), F.col("url_count")).otherwise(0)).alias("leaf_urls"),
+        F.sum(F.when(F.col("is_leaf"), 1).otherwise(0)).alias("n_leaves"),
+        F.min(F.when(F.col("parent_id").isNotNull(), F.col("url_count"))).alias("min_child"),
+        F.max(F.when(F.col("parent_id").isNull(), F.col("url_count"))).alias("root_urls"),
+    )
+    corpus = canon.groupBy("host").agg(F.count("*").alias("n_urls")).filter(
+        F.col("n_urls") >= 50
+    )
+    return (
+        corpus.join(per, "host")
+        .join(ok_children, "host", "left")
+        .na.fill({"children_within_parent": True})  # single-node trees
+        .select(
+            "host", "n_urls",
+            (F.col("root_urls") == F.col("n_urls")).alias("root_covers_corpus"),
+            (F.col("leaf_urls") <= F.col("n_urls")).alias("leaves_within_corpus"),
+            F.coalesce(F.col("min_child") >= 30, F.lit(True)).alias("children_min_size"),
+            ((F.col("max_id") == F.col("n_nodes") - 1)
+             & (F.col("n_leaves") >= 1)).alias("ids_dense_and_leafed"),
+            "children_within_parent",
+        )
+    )
+
+
+SQL_PATTERN_TREE_INVARIANTS = URLS_SQL + """
+, canon AS (SELECT DISTINCT canon, host FROM urls),
+g AS (SELECT host, count(*) AS n_urls FROM canon GROUP BY host
+      HAVING count(*) >= 50)
+SELECT host, n_urls,
+       TRUE AS root_covers_corpus,
+       TRUE AS leaves_within_corpus,
+       TRUE AS children_min_size,
+       TRUE AS ids_dense_and_leafed,
+       TRUE AS children_within_parent
+FROM g
+"""
+
+
+def q_leaf_alternation_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant oracle for the sf-scaled star-collapse alternation
+    assembly (r3 verdict item 6; exact-shape twin:
+    ``leaf_alternations_fixed``): the alternation host set and corpus
+    sizes are real data equalities vs DuckDB; '|'-branch count ==
+    ``n_leaves`` (the kept-leaf count the collapse emitted) and kept
+    leaves never exceed the tree's leaves (TRUE-stated invariants)."""
+    canon = _persist(
+        _canon_df(spark, sf_dir).select("host", F.col("url_canon").alias("url"))
+    )
+    nodes = _persist(build_trees(canon, min_host_urls=50))
+    alts = leaf_alternations(nodes)
+    tree_leaves = nodes.groupBy("host").agg(
+        F.sum(F.when(F.col("is_leaf"), 1).otherwise(0)).alias("tree_leaves")
+    )
+    corpus = canon.groupBy("host").agg(F.count("*").alias("n_urls")).filter(
+        F.col("n_urls") >= 50
+    )
+    return (
+        corpus.join(alts, "host").join(tree_leaves, "host")
+        .select(
+            "host", "n_urls",
+            (F.size(F.split(F.col("patterns"), r"\|")) == F.col("n_leaves")
+             ).alias("branches_match_kept"),
+            ((F.col("n_leaves") >= 1)
+             & (F.col("n_leaves") <= F.col("tree_leaves"))
+             ).alias("kept_within_leaves"),
+            (F.length("patterns") > 0).alias("nonempty_alternation"),
+        )
+    )
+
+
+SQL_LEAF_ALTERNATION_INVARIANTS = URLS_SQL + """
+, canon AS (SELECT DISTINCT canon, host FROM urls),
+g AS (SELECT host, count(*) AS n_urls FROM canon GROUP BY host
+      HAVING count(*) >= 50)
+SELECT host, n_urls,
+       TRUE AS branches_match_kept,
+       TRUE AS kept_within_leaves,
+       TRUE AS nonempty_alternation
+FROM g
+"""
+
+
 def q_pattern_tree_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tree RECURSION (Fun.buildPatternTree) under the driver oracle
     (r3): on the scale-pinned cluster corpus every host's tree provably
@@ -2062,6 +2178,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "garbage_page_report": q_garbage_page_report,
     "pattern_tree_nodes": q_pattern_tree_nodes,
     "leaf_alternations": q_leaf_alternations,
+    "pattern_tree_invariants": q_pattern_tree_invariants,
+    "leaf_alternation_invariants": q_leaf_alternation_invariants,
     "pattern_tree_fixed": q_pattern_tree_fixed,
     "url_membership_fixed": q_url_membership_fixed,
     "leaf_alternations_fixed": q_leaf_alternations_fixed,
@@ -2111,6 +2229,8 @@ ORACLES: dict[str, str] = {
     "pattern_match_classify": SQL_PATTERN_MATCH_CLASSIFY,
     "theme_page_classify": SQL_THEME_PAGE_CLASSIFY,
     "garbage_page_report": SQL_GARBAGE_PAGE_REPORT,
+    "pattern_tree_invariants": SQL_PATTERN_TREE_INVARIANTS,
+    "leaf_alternation_invariants": SQL_LEAF_ALTERNATION_INVARIANTS,
     "pattern_tree_fixed": SQL_PATTERN_TREE_FIXED,
     "url_membership_fixed": SQL_URL_MEMBERSHIP_FIXED,
     "leaf_alternations_fixed": SQL_LEAF_ALTERNATIONS_FIXED,

@@ -11,6 +11,20 @@ Lineage columns stamped on every checkpoint write (FIXTURES.md F2):
 ``run_id``, ``iteration``, ``partition_id`` (physical writing partition via
 ``spark_partition_id()``), plus a per-write row-count metric appended to the
 ``_metrics`` table.
+
+Concurrency semantics vs real Iceberg (tests/test_catalog.py pins these):
+
+- concurrent DYNAMIC overwrites of DISJOINT partitions merge, like two
+  Iceberg overwrite-by-filter commits on disjoint filters;
+- concurrent writers on the SAME partition are last-file-wins with no
+  commit ordering — Iceberg would serialize them through optimistic commit
+  retry; callers must not do this (the crawl's concurrent writers target
+  disjoint TABLES);
+- rewrite is atomic w.r.t. crash (rename-aside swap + _recover) and
+  tolerates concurrent readers racing the swap window (retry loop), but
+  offers NO snapshot isolation: a reader overlapping a rewrite can observe
+  a transient miss and must re-read (Iceberg readers keep their pinned
+  snapshot); callers re-read by name.
 """
 
 from __future__ import annotations
@@ -114,10 +128,32 @@ class Catalog:
             raise
         final = self.path(name)
         old = self.path(f"{name}__compact_old")
+        tmp_p = self.path(tmp)
+        # swap loop: a CONCURRENT reader's _recover can heal old -> final
+        # inside the two-rename window (the window is indistinguishable from
+        # a crash by filesystem state alone); when that steals our first
+        # rename, re-park the healed dir and retry — each retry restores the
+        # exact pre-swap state, so the loop is safe to repeat. ``old`` is
+        # only ever deleted while ``final`` is live (crash anywhere keeps at
+        # least one complete copy reachable by _recover).
+        last_err: OSError | None = None
+        for _ in range(8):
+            if os.path.isdir(final):
+                shutil.rmtree(old, ignore_errors=True)  # final live -> old stale
+                try:
+                    os.rename(final, old)
+                except OSError as e:
+                    last_err = e
+                    continue
+            try:
+                os.rename(tmp_p, final)
+                break
+            except OSError as e:
+                last_err = e
+                continue
+        else:
+            raise last_err  # 8 consecutive heal races: give up loudly
         shutil.rmtree(old, ignore_errors=True)
-        os.rename(final, old)
-        os.rename(self.path(tmp), final)
-        shutil.rmtree(old)
 
     def compact(self, name: str, target_partitions: int,
                 partition_by: list[str] | None = None) -> None:
