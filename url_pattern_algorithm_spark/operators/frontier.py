@@ -217,9 +217,14 @@ def robots_filter(candidates: DataFrame, robots: DataFrame,
     pure-python oracle implements the same rule).
 
     ``longest_match=True``: standard robots.txt precedence — among all
-    rules whose prefix matches the path, the LONGEST wins; the candidate
-    survives iff that rule is an allow (or no rule matches). Implemented
-    as one equi broadcast join against per-host collected rule arrays +
+    rules whose PATTERN matches the path, the LONGEST (raw pattern length;
+    Google robots spec's most-specific rule) wins; the candidate survives
+    iff that rule is an allow (or no rule matches). Patterns support the
+    spec's wildcards: ``*`` matches any character run, a trailing ``$``
+    anchors the end; everything else is literal (a plain prefix behaves
+    exactly like the old startswith). Implemented as one equi broadcast
+    join against per-host collected rule arrays (each carrying its
+    pre-translated anchored regex, built once on the dimension side) +
     a codegen ``array_max`` over the matched rules — no window, no row
     identity: deterministic under task retry/stage recomputation (r2's
     monotonically_increasing_id window key could split one candidate's
@@ -243,13 +248,21 @@ def robots_filter(candidates: DataFrame, robots: DataFrame,
         return joined.filter(F.col("r_host").isNull()).drop("r_host", "prefix")
     # per-host rule arrays: robots rule sets are tiny (dozens of rows per
     # host), so collect_list stays broadcast-sized; list order is
-    # irrelevant — precedence is an order-insensitive array_max
+    # irrelevant — precedence is an order-insensitive array_max.
+    # Pattern -> anchored regex, once per DIMENSION row (never per
+    # candidate): escape every regex metachar, then '\*' -> '.*' and a
+    # trailing '\$' back to the '$' anchor, '^'-prefixed.
+    esc = F.regexp_replace(F.col("prefix"),
+                           r"([.^$|?*+()\[\]{}\\])", r"\\$1")
+    wild = F.regexp_replace(esc, r"\\\*", ".*")
+    anchored = F.regexp_replace(wild, r"\\\$$", r"\$")
     rule_sets = robots.groupBy(F.col("host").alias("r_host")).agg(
         F.collect_list(
             F.struct(
                 F.length("prefix").alias("len"),
                 F.col("allow"),
                 F.col("prefix"),
+                F.concat(F.lit("^"), anchored).alias("rx"),
             )
         ).alias("_rules")
     )
@@ -257,10 +270,11 @@ def robots_filter(candidates: DataFrame, robots: DataFrame,
         broadcast_if_small(rule_sets, est_rows),  # rows <= robots rows
         F.col("host") == F.col("r_host"), "left",
     )
-    matched = F.filter(F.col("_rules"), lambda r: path.startswith(r["prefix"]))
-    # longest matching prefix wins; allow breaks prefix-length ties
+    matched = F.filter(F.col("_rules"),
+                       lambda r: F.regexp_like(path, r["rx"]))
+    # longest matching pattern wins; allow breaks pattern-length ties
     # (Google robots spec: least-restrictive on ties) — struct ordering
-    # (len, allow, prefix) compares exactly that way
+    # (len, allow, prefix, rx) compares exactly that way
     best = F.array_max(matched)
     keep = (
         F.col("_rules").isNull()  # host has no robots rules

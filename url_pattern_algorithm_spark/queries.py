@@ -295,6 +295,35 @@ FROM hs
 """
 
 
+def q_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots wildcard patterns under longest-match precedence (north_rule
+    crawl realism; Google robots spec): '*' spans character runs, trailing
+    '$' anchors, the longest RAW pattern wins, allow breaks length ties.
+    Rules per host: disallow '/cat' (blocks all), allow '/cat*/item1'
+    (re-admits item1-prefixed items), disallow '/cat*/item1$' (re-blocks
+    exactly item1) — survivors are item1-prefixed items except item1
+    itself, exercising '*', '$' and the 11-vs-12 length precedence."""
+    u = urls_raw(spark, sf_dir)
+    hosts = u.select("host").distinct()
+    rules = None
+    for prefix, allow in (("/cat", False), ("/cat*/item1", True),
+                          ("/cat*/item1$", False)):
+        r = hosts.select("host", F.lit(prefix).alias("prefix"),
+                         F.lit(allow).alias("allow"))
+        rules = r if rules is None else rules.unionByName(r)
+    out = robots_filter(u.select("host", "url"), rules, longest_match=True)
+    return out.groupBy("host").agg(F.count("*").alias("n_allowed"))
+
+
+SQL_ROBOTS_WILDCARDS = URLS_SQL + """
+SELECT host, count(*) AS n_allowed
+FROM urls
+WHERE regexp_matches('/' || cat || '/' || item, '^/cat.*/item1')
+  AND NOT regexp_matches('/' || cat || '/' || item, '^/cat.*/item1$')
+GROUP BY host
+"""
+
+
 def q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-delay directive parsing (north_rule crawl realism): per-host
     MAX over robots rows (host_crawl_delays), flowed through the politeness
@@ -2162,6 +2191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_seen_antijoin": q_url_seen_antijoin,
     "politeness_budget": q_politeness_budget,
     "robots_crawl_delay": q_robots_crawl_delay,
+    "robots_wildcards": q_robots_wildcards,
     "robots_filter": q_robots_filter,
     "host_counts": q_host_counts,
     "url_sample_cap": q_url_sample_cap,
@@ -2215,6 +2245,7 @@ ORACLES: dict[str, str] = {
     "url_seen_antijoin": SQL_URL_SEEN_ANTIJOIN,
     "politeness_budget": SQL_POLITENESS_BUDGET,
     "robots_crawl_delay": SQL_ROBOTS_CRAWL_DELAY,
+    "robots_wildcards": SQL_ROBOTS_WILDCARDS,
     "robots_filter": SQL_ROBOTS_FILTER,
     "host_counts": SQL_HOST_COUNTS,
     "url_sample_cap": SQL_URL_SAMPLE_CAP,
