@@ -1,0 +1,97 @@
+"""robots.txt parsing: pure-kernel goldens + Spark source wiring into the
+frontier operators (robots_filter both modes, host_crawl_delays)."""
+
+from pyspark.sql import functions as F
+
+from url_pattern_algorithm_spark.kernel.robots import parse_robots_txt
+
+BODY = """
+# corp robots
+User-agent: EvilBot
+Disallow: /
+
+User-agent: *
+Disallow: /private
+Allow: /private/pub
+Crawl-delay: 2.5
+Disallow:
+Disallow: /*.pdf$
+
+User-agent: friendly
+Allow: /anything
+"""
+
+
+def test_parse_goldens():
+    rules, delay = parse_robots_txt(BODY)
+    assert rules == [
+        ("/private", False),
+        ("/private/pub", True),
+        ("/*.pdf$", False),
+    ]
+    assert delay == 2.5
+
+
+def test_parse_agent_selection_and_header_runs():
+    body = (
+        "User-agent: a\nUser-agent: b\nDisallow: /x\nCrawl-delay: 9\n"
+        "User-agent: *\nDisallow: /y\n"
+    )
+    # generic agent: only the '*' group applies
+    assert parse_robots_txt(body) == ([("/y", False)], None)
+    # named agent matches the multi-agent header run
+    assert parse_robots_txt(body, agent="B") == ([("/x", False)], 9.0)
+
+
+def test_parse_garbage_tolerance():
+    body = "?????\nDisallow /nope\nUser-agent: *\nCrawl-delay: soon\nDisallow: /ok\n"
+    rules, delay = parse_robots_txt(body)
+    assert rules == [("/ok", False)] and delay is None
+    assert parse_robots_txt("") == ([], None)
+    assert parse_robots_txt(None) == ([], None)
+
+
+def test_spark_source_feeds_frontier(spark):
+    from url_pattern_algorithm_spark.operators.frontier import (
+        host_crawl_delays,
+        robots_filter,
+    )
+    from url_pattern_algorithm_spark.sources.robots import (
+        robots_rules_from_bodies,
+    )
+
+    bodies = spark.createDataFrame(
+        [
+            ("h1", BODY),
+            ("h2", "User-agent: *\nCrawl-delay: 4\n"),  # delay only
+            ("h3", None),                                # no robots
+        ],
+        "host string, robots_txt string",
+    )
+    robots = robots_rules_from_bodies(bodies)
+    rows = {(r.host, r.prefix, r.allow, r.crawl_delay)
+            for r in robots.collect()}
+    assert rows == {
+        ("h1", "/private", False, 2.5),
+        ("h1", "/private/pub", True, 2.5),
+        ("h1", "/*.pdf$", False, 2.5),
+        ("h2", "", True, 4.0),
+    }
+    delays = {r.host: r.crawl_delay
+              for r in host_crawl_delays(robots).collect()}
+    assert delays == {"h1": 2.5, "h2": 4.0}
+
+    cand = spark.createDataFrame(
+        [("h1", "http://h1/private/pub/x"), ("h1", "http://h1/private/secret"),
+         ("h1", "http://h1/docs/a.pdf"), ("h1", "http://h1/open"),
+         ("h2", "http://h2/anything"), ("h3", "http://h3/whatever")],
+        "host string, url string",
+    )
+    kept = sorted(r.url for r in robots_filter(cand, robots,
+                                               longest_match=True).collect())
+    assert kept == sorted([
+        "http://h1/private/pub/x",  # allow outranks /private by length
+        "http://h1/open",
+        "http://h2/anything",       # empty-prefix allow row is a no-op
+        "http://h3/whatever",       # no rules at all
+    ])

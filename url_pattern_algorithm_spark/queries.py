@@ -324,6 +324,49 @@ GROUP BY host
 """
 
 
+def q_robots_txt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt body parsing (kernel/robots + sources/robots mapInPandas):
+    synthetic per-host bodies exercise group selection (a named EvilBot
+    group that must NOT apply to the generic agent), comments, Allow/
+    Disallow emission and Crawl-delay extraction; the oracle restates the
+    expected rule rows in closed form from the same host derivation."""
+    from url_pattern_algorithm_spark.sources.robots import (
+        robots_rules_from_bodies,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    n = (F.col("c_custkey") % 40)
+    hosts = c.select(
+        F.concat(F.lit("www.host"), n.cast("string"), F.lit(".com")).alias("host"),
+        (n % 4).cast("string").alias("k"),
+        (1 + n % 3).cast("string").alias("d"),
+    ).distinct()
+    body = F.concat(
+        F.lit("# synthetic robots\nUser-agent: EvilBot\nDisallow: /\n\n"
+              "User-agent: *\nDisallow: /p"), F.col("k"),
+        F.lit("\nAllow: /p"), F.col("k"),
+        F.lit("/pub\nCrawl-delay: "), F.col("d"), F.lit("\n"),
+    )
+    bodies = hosts.select("host", body.alias("robots_txt"))
+    return robots_rules_from_bodies(bodies)
+
+
+SQL_ROBOTS_TXT_PARSE = """
+WITH h AS (SELECT DISTINCT (c_custkey % 40) AS n FROM customer)
+SELECT 'www.host' || n || '.com' AS host,
+       '/p' || (n % 4) AS prefix,
+       FALSE AS allow,
+       CAST(1 + (n % 3) AS DOUBLE) AS crawl_delay
+FROM h
+UNION ALL
+SELECT 'www.host' || n || '.com',
+       '/p' || (n % 4) || '/pub',
+       TRUE,
+       CAST(1 + (n % 3) AS DOUBLE)
+FROM h
+"""
+
+
 def q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-delay directive parsing (north_rule crawl realism): per-host
     MAX over robots rows (host_crawl_delays), flowed through the politeness
@@ -2192,6 +2235,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "politeness_budget": q_politeness_budget,
     "robots_crawl_delay": q_robots_crawl_delay,
     "robots_wildcards": q_robots_wildcards,
+    "robots_txt_parse": q_robots_txt_parse,
     "robots_filter": q_robots_filter,
     "host_counts": q_host_counts,
     "url_sample_cap": q_url_sample_cap,
@@ -2246,6 +2290,7 @@ ORACLES: dict[str, str] = {
     "politeness_budget": SQL_POLITENESS_BUDGET,
     "robots_crawl_delay": SQL_ROBOTS_CRAWL_DELAY,
     "robots_wildcards": SQL_ROBOTS_WILDCARDS,
+    "robots_txt_parse": SQL_ROBOTS_TXT_PARSE,
     "robots_filter": SQL_ROBOTS_FILTER,
     "host_counts": SQL_HOST_COUNTS,
     "url_sample_cap": SQL_URL_SAMPLE_CAP,
