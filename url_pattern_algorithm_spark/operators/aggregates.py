@@ -23,6 +23,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from url_pattern_algorithm_spark.scaling import broadcast_if_small
+from url_pattern_algorithm_spark.session import persist_tracked
+
+
+def _gated_dim(dim, est_rows):
+    """Size-gated hint for a per-host dimension; with no caller estimate
+    the dimension is tracked-persisted first so the bounded probe
+    materializes its aggregation once and the join reads the cache
+    (operators/sampling._gated_counts is the same pattern)."""
+    if est_rows is None:
+        dim = persist_tracked(dim)
+    return broadcast_if_small(dim, est_rows)
 
 from url_pattern_algorithm_spark.functions.udfs import tokenize_light_udf
 
@@ -89,7 +100,7 @@ def key_support(kv: DataFrame, urls_per_host: DataFrame,
     per_key = kv.groupBy("host", "key").agg(
         F.countDistinct("url").alias("n_urls_with_key")
     )
-    return per_key.join(broadcast_if_small(urls_per_host, est_hosts), "host").select(
+    return per_key.join(_gated_dim(urls_per_host, est_hosts), "host").select(
         "host", "key",
         (F.col("n_urls_with_key") / F.col("n_urls")).alias("support"),
     )
@@ -110,7 +121,7 @@ def common_keys(kv: DataFrame) -> DataFrame:
         F.countDistinct("url").alias("n_with")
     )
     return (
-        per_key.join(broadcast_if_small(n_urls), "host")
+        per_key.join(_gated_dim(n_urls, None), "host")
         .filter(F.col("n_with") == F.col("n_urls"))
         .select("host", "key")
     )
@@ -170,7 +181,7 @@ def most_frequent_key(
             Window.partitionBy("host").orderBy(F.col("c").desc(), F.col("key"))
         ),
     ).filter(F.col("rn") == 1)
-    out = ranked.join(broadcast_if_small(n_urls), "host").withColumn(
+    out = ranked.join(_gated_dim(n_urls, None), "host").withColumn(
         "ratio", F.col("c") / F.col("n_urls")
     )
     keep = F.col("ratio") > min_ratio

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from url_pattern_algorithm_spark.scaling import broadcast_if_small
+from url_pattern_algorithm_spark.session import persist_tracked
 
 DEFAULT_CAP = 500_000  # PatternJob.java:256
 _PRECISION = 1_000_000
@@ -30,6 +31,17 @@ _PRECISION = 1_000_000
 def host_counts(urls: DataFrame) -> DataFrame:
     """(host, host_count) — the reference's precomputed stats table."""
     return urls.groupBy("host").agg(F.count("*").alias("host_count"))
+
+
+def _gated_counts(counts: DataFrame, est_hosts: int | None):
+    """Size-gated hint for a per-host counts dimension. When no caller
+    estimate exists, persist the counts through the tracked registry FIRST
+    so the bounded probe materializes the aggregation once and the join
+    reads the cache — without this the probe re-ran the full fact-side
+    lineage (UDF normalize included) a second time."""
+    if est_hosts is None:
+        counts = persist_tracked(counts)
+    return broadcast_if_small(counts, est_hosts)
 
 
 def cap_per_host(
@@ -48,8 +60,9 @@ def cap_per_host(
     grows with DISTINCT HOSTS: the broadcast hint is size-gated
     (scaling.broadcast_if_small) — past the threshold the join is left to
     AQE. ``est_hosts`` supplies a caller-known host cardinality; when None
-    a bounded probe decides (NB the probe evaluates ``urls``' count
-    aggregation once extra — persist an expensive input first).
+    a bounded probe decides over a tracked-persisted counts dimension
+    (the probe materializes the aggregation once; the join reads the
+    cache — no second fact-side scan).
 
     ``keep_hash`` overrides the keep-decision hash column (must be uniform in
     [0, 1e6)); default is the fast built-in xxhash64. The oracle queries pass
@@ -65,7 +78,7 @@ def cap_per_host(
         cap_col = F.lit(cap)
     if keep_hash is None:
         keep_hash = F.pmod(F.xxhash64(F.col("url"), F.lit(seed)), F.lit(_PRECISION))
-    joined = urls.join(broadcast_if_small(counts, est_hosts), "host")
+    joined = urls.join(_gated_counts(counts, est_hosts), "host")
     p = F.least(F.lit(1.0), cap_col / F.col("host_count"))
     keep = keep_hash < (p * _PRECISION)
     return joined.filter(keep).drop("host_count")
@@ -77,7 +90,7 @@ def gate_min_host_size(urls: DataFrame, min_size: int,
     The qualifying-host dimension is size-gated like cap_per_host's."""
     counts = host_counts(urls).filter(F.col("host_count") >= min_size)
     return urls.join(
-        broadcast_if_small(counts.select("host"), est_hosts), "host",
+        _gated_counts(counts.select("host"), est_hosts), "host",
         "left_semi",
     )
 
