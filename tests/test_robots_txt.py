@@ -95,3 +95,44 @@ def test_spark_source_feeds_frontier(spark):
         "http://h2/anything",       # empty-prefix allow row is a no-op
         "http://h3/whatever",       # no rules at all
     ])
+
+
+def test_run_crawl_accepts_raw_bodies(spark, tmp_path):
+    # run_crawl parses a (host, robots_txt) frame through the same kernel;
+    # scheduled batches must equal the structured-table run exactly
+    from url_pattern_algorithm_spark.plans.crawl import run_crawl
+    from url_pattern_algorithm_spark.sources.catalog import Catalog
+    from url_pattern_algorithm_spark.sources.synthetic import (
+        docs_df,
+        robots_df,
+        seeds_df,
+    )
+
+    n_docs, n_hosts, iters = 400, 6, 2
+    docs = docs_df(spark, n_docs, n_hosts, partitions=4)
+    seeds = seeds_df(spark, n_hosts)
+    structured = robots_df(spark, n_hosts, with_delays=True)
+
+    def body(h):
+        extra = "Disallow: /list\n" if h == 0 else ""
+        return (f"User-agent: *\nDisallow: /private\n{extra}"
+                f"Crawl-delay: {1.0 + h % 3}\n")
+
+    bodies = spark.createDataFrame(
+        [(f"site{h}.example.com", body(h)) for h in range(n_hosts)],
+        "host string, robots_txt string",
+    )
+    roots = {}
+    for name, rob in (("structured", structured), ("bodies", bodies)):
+        root = str(tmp_path / name)
+        run_crawl(spark, docs, seeds, rob, root, n_docs, iterations=iters)
+        roots[name] = root
+
+    def sched(root, it):
+        cat = Catalog(spark, root)
+        return [(r.url, r.sched_rank) for r in
+                cat.read(f"scheduled_{it}").orderBy("host", "sched_rank")
+                .collect()]
+
+    for it in range(1, iters + 1):
+        assert sched(roots["bodies"], it) == sched(roots["structured"], it)

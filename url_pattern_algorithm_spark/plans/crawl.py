@@ -622,6 +622,15 @@ def run_crawl(
     if pending_hbuckets is None:
         pending_hbuckets = derive_pending_hbuckets(n_docs)
     cat = Catalog(spark, ckpt_root)
+    # accept raw robots.txt bodies directly: a (host, robots_txt) frame is
+    # parsed into the structured rule table (sources/robots) — same rows a
+    # caller would get by pre-parsing, so parity/oracles are unaffected
+    if "robots_txt" in robots.columns:
+        from url_pattern_algorithm_spark.sources.robots import (
+            robots_rules_from_bodies,
+        )
+
+        robots = robots_rules_from_bodies(robots)
     if "doc_index" not in docs.columns:
         docs = docs.withColumn(
             "doc_index",
