@@ -57,6 +57,55 @@ def test_candidate_stream_normalizes(spark, tmp_path):
     assert rows[0].host == "a.com"
 
 
+def test_dedup_candidate_stream_first_wins(spark, tmp_path):
+    # watermark-bounded streaming dedup == batch first-wins distinct on
+    # url_hash: dupes within a micro-batch AND across micro-batches (inside
+    # the watermark horizon) are dropped; normalization-equivalent spellings
+    # collide because both paths share the with_url_columns kernel.
+    import pandas as pd
+
+    from url_pattern_algorithm_spark.streaming.events import (
+        dedup_candidate_stream,
+        run_available_now,
+    )
+
+    src = tmp_path / "cand"
+    src.mkdir()
+    t0 = pd.Timestamp("2026-01-01 09:00:00")
+    b1 = pd.DataFrame({
+        "url": [
+            "http://a.com/x?b=2",
+            "HTTP://A.COM:80/x?b=2",        # same canonical -> in-batch dupe
+            "http://b.com/y",
+        ],
+        "ts": [t0, t0, t0],
+    })
+    b2 = pd.DataFrame({
+        "url": [
+            "http://a.com/./x?b=2",          # cross-batch dupe of b1 row 1
+            "http://c.com/z",
+        ],
+        "ts": [t0 + pd.Timedelta(minutes=5)] * 2,
+    })
+    b1.to_parquet(src / "part-000.parquet", coerce_timestamps="us",
+                  allow_truncated_timestamps=True)
+    b2.to_parquet(src / "part-001.parquet", coerce_timestamps="us",
+                  allow_truncated_timestamps=True)
+    stream = (
+        spark.readStream.schema("url string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = dedup_candidate_stream(stream, late_threshold="1 hour")
+    assert out.isStreaming
+    run_available_now(out, "dedup_cand", str(tmp_path / "ckpt"),
+                      output_mode="append")
+    rows = spark.sql("SELECT url_canon FROM dedup_cand").collect()
+    assert sorted(r.url_canon for r in rows) == [
+        "http://a.com/x?b=2", "http://b.com/y", "http://c.com/z",
+    ]
+
+
 def test_stateful_host_budget(spark, tmp_path):
     # applyInPandasWithState token bucket: state carries (tokens, total)
     # across micro-batches; two files at maxFilesPerTrigger=1 -> 2 batches.

@@ -59,6 +59,26 @@ def candidate_stream(urls: DataFrame) -> DataFrame:
     return with_url_columns(urls).filter(F.col("url_canon").isNotNull())
 
 
+def dedup_candidate_stream(urls: DataFrame, ts_col: str = "ts",
+                           late_threshold: str = "1 hour") -> DataFrame:
+    """Watermark-bounded streaming dedup of frontier candidates — the
+    incremental twin of the batch ``operators.frontier.filter_unseen``
+    seen-anti-join (first occurrence of each ``url_hash`` wins).
+
+    Batch keeps a persistent ``seen`` table and anti-joins every iteration;
+    a continuous-ingest deployment can't grow state with crawl age, so this
+    uses ``dropDuplicatesWithinWatermark`` on the canonical hash: state holds
+    only hashes whose event time is within ``late_threshold`` of the
+    watermark, i.e. bounded by (arrival rate x threshold) rather than total
+    crawl history — the streaming analogue of the batch loop's
+    ``compact_seen`` retention bound. Exactly-once under AvailableNow; the
+    normalization chain is the same ``with_url_columns`` kernel as batch, so
+    batch and stream agree on which URLs collide (verified in tests).
+    """
+    cand = candidate_stream(urls.withWatermark(ts_col, late_threshold))
+    return cand.dropDuplicatesWithinWatermark(["url_hash"])
+
+
 def stateful_host_budget(requests: DataFrame, tokens_init: float = 2.0,
                          cap: float = 4.0, refill: float = 1.0) -> DataFrame:
     """Custom stateful streaming operator (``applyInPandasWithState``): the
