@@ -206,6 +206,54 @@ SELECT DISTINCT url, canon AS url_canon FROM urls
 """
 
 
+def q_stream_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the seen-anti-join, driven end-to-end under
+    Trigger.AvailableNow: the raw URL corpus is staged as a multi-file
+    parquet directory, streamed in several micro-batches through
+    ``streaming.events.dedup_candidate_stream`` (watermark-bounded
+    ``dropDuplicatesWithinWatermark`` on the canonical hash), and the
+    surviving candidates' distinct (host, url_canon) set must equal the
+    batch closed-form — i.e. streaming and batch agree on which URLs
+    collide. Cross-micro-batch dupes are exercised: the stage write is
+    round-robin repartitioned so equivalent spellings land in different
+    files/batches."""
+    import os
+    import tempfile
+    import uuid
+
+    from url_pattern_algorithm_spark.streaming.events import (
+        dedup_candidate_stream,
+        run_available_now,
+    )
+
+    tag = uuid.uuid4().hex[:12]
+    root = tempfile.mkdtemp(prefix=f"stream_dedup_{tag}_")
+    src = os.path.join(root, "src")
+    u = urls_raw(spark, sf_dir).select(
+        "url", F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts")
+    )
+    # round-robin: canonical-equal spellings scatter across files/batches
+    u.repartition(8).write.parquet(src)
+    stream = (
+        spark.readStream.schema("url string, ts timestamp")
+        .option("maxFilesPerTrigger", 3)
+        .parquet(src)
+    )
+    name = f"stream_dedup_{tag}"
+    run_available_now(
+        dedup_candidate_stream(stream, late_threshold="1 hour"),
+        name, os.path.join(root, "ckpt"), output_mode="append",
+    )
+    # the surviving raw spelling per hash is arrival-order-dependent;
+    # (host, url_canon) is the deterministic projection
+    return spark.sql(f"SELECT DISTINCT host, url_canon FROM {name}")
+
+
+SQL_STREAM_DEDUP_CANDIDATES = URLS_SQL + """
+SELECT DISTINCT host, canon AS url_canon FROM urls
+"""
+
+
 def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship slice: normalize -> dedup -> politeness budgets -> salted
     two-phase priority top-k (SURVEY.md §7 'minimum end-to-end slice')."""
@@ -2230,6 +2278,7 @@ def _with_release(fn):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_normalize": q_url_normalize,
+    "stream_dedup_candidates": q_stream_dedup_candidates,
     "frontier_schedule": q_frontier_schedule,
     "url_seen_antijoin": q_url_seen_antijoin,
     "politeness_budget": q_politeness_budget,
@@ -2285,6 +2334,7 @@ QUERIES = {name: _with_release(fn) for name, fn in QUERIES.items()}
 
 ORACLES: dict[str, str] = {
     "url_normalize": SQL_URL_NORMALIZE,
+    "stream_dedup_candidates": SQL_STREAM_DEDUP_CANDIDATES,
     "frontier_schedule": SQL_FRONTIER_SCHEDULE,
     "url_seen_antijoin": SQL_URL_SEEN_ANTIJOIN,
     "politeness_budget": SQL_POLITENESS_BUDGET,
