@@ -97,6 +97,55 @@ def test_spark_source_feeds_frontier(spark):
     ])
 
 
+def test_parse_crawl_delay_validation():
+    # non-positive / non-finite delays poison the politeness refill
+    # (REFILL / delay): treated like unparseable -> default applies
+    for bad in ("0", "-1", "inf", "-inf", "nan"):
+        body = f"User-agent: *\nCrawl-delay: {bad}\nDisallow: /x\n"
+        assert parse_robots_txt(body) == ([("/x", False)], None), bad
+    body = "User-agent: *\nCrawl-delay: 0\nCrawl-delay: 2.5\n"
+    assert parse_robots_txt(body) == ([], 2.5)
+
+
+def test_robots_default_mode_honors_wildcards(spark):
+    # body-parsed prefixes carry '*'/'$'; the default (parity) mode must
+    # drop their matches too — a literal startswith silently no-ops the
+    # rule and crawls everything it was meant to block. Spark and the
+    # pure-python crawl oracle must agree rule by rule.
+    from url_pattern_algorithm_spark.kernel.crawl_oracle import (
+        _robots_allowed,
+    )
+    from url_pattern_algorithm_spark.operators.frontier import robots_filter
+
+    robots_rows = [
+        ("h.com", "/private*", False),
+        ("h.com", "/*.pdf$", False),
+        ("h.com", "/plain", False),
+    ]
+    urls = [
+        "http://h.com/private/x",    # '/private*' -> blocked
+        "http://h.com/privateer",    # '/private*' -> blocked
+        "http://h.com/docs/a.pdf",   # '/*.pdf$' -> blocked
+        "http://h.com/a.pdf.html",   # '$' anchor -> kept
+        "http://h.com/plain/x",      # literal fast path -> blocked
+        "http://h.com/open",         # no rule -> kept
+    ]
+    robots = spark.createDataFrame(
+        robots_rows, "host string, prefix string, allow boolean"
+    )
+    cand = spark.createDataFrame(
+        [("h.com", u) for u in urls], "host string, url string"
+    )
+    kept = sorted(r.url for r in robots_filter(cand, robots).collect())
+    want = ["http://h.com/a.pdf.html", "http://h.com/open"]
+    assert kept == want
+    disallow = [(h, p) for h, p, allow in robots_rows if not allow]
+    oracle_kept = sorted(
+        u for u in urls if _robots_allowed(u, "h.com", disallow)
+    )
+    assert oracle_kept == want
+
+
 def test_run_crawl_accepts_raw_bodies(spark, tmp_path):
     # run_crawl parses a (host, robots_txt) frame through the same kernel;
     # scheduled batches must equal the structured-table run exactly

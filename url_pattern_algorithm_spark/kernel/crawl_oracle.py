@@ -11,6 +11,7 @@ pipeline is Spark itself, which is the point.
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, field
 
 from url_pattern_algorithm_spark.functions.links import extract_links
@@ -68,9 +69,21 @@ def _candidate(url: str) -> tuple[int, str, str, str] | None:
     return spark_xxhash64(canon), url, canon, host.lower()
 
 
+def _rule_matches(path: str, prefix: str) -> bool:
+    """One robots rule against a path: plain prefixes are startswith;
+    '*'/'trailing $' wildcards match via the same escape-then-translate
+    regex as operators/frontier.robots_filter's ``_pattern_rx``."""
+    if "*" not in prefix and not prefix.endswith("$"):
+        return path.startswith(prefix)
+    rx = re.escape(prefix).replace(r"\*", ".*")
+    if rx.endswith(r"\$"):
+        rx = rx[: -2] + "$"
+    return re.match("^" + rx, path) is not None
+
+
 def _robots_allowed(url: str, host: str, disallow: list[tuple[str, str]]) -> bool:
     path = raw_path(url)
-    return not any(h == host and path.startswith(p) for h, p in disallow)
+    return not any(h == host and _rule_matches(path, p) for h, p in disallow)
 
 
 def run_oracle_crawl(

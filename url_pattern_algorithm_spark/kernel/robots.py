@@ -30,6 +30,8 @@ Pure python: doubles as the oracle for the Spark wrapper
 
 from __future__ import annotations
 
+import math
+
 
 def _parse_groups(body: str) -> list[tuple[list[str], list[tuple[str, bool]], float | None]]:
     """body -> [(agent_tokens_lower, rules, crawl_delay), ...] in file order."""
@@ -76,6 +78,12 @@ def _parse_groups(body: str) -> list[tuple[list[str], list[tuple[str, bool]], fl
             try:
                 d = float(value)
             except ValueError:
+                continue
+            # real-web bodies carry 'Crawl-delay: 0' / negatives / 'inf':
+            # a non-positive or non-finite delay poisons the politeness
+            # refill (REFILL / delay -> div-zero, Infinity, or a token
+            # DRAIN) — treat them like unparseable and keep the default
+            if not (d > 0 and math.isfinite(d)):
                 continue
             delay = d if delay is None else max(delay, d)
     flush()

@@ -22,20 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from url_pattern_algorithm_spark.scaling import broadcast_if_small
-from url_pattern_algorithm_spark.session import persist_tracked
-
-
-def _gated_dim(dim, est_rows):
-    """Size-gated hint for a per-host dimension; with no caller estimate
-    the dimension is tracked-persisted first so the bounded probe
-    materializes its aggregation once and the join reads the cache
-    (operators/sampling._gated_counts is the same pattern)."""
-    if est_rows is None:
-        dim = persist_tracked(dim)
-    return broadcast_if_small(dim, est_rows)
-
 from url_pattern_algorithm_spark.functions.udfs import tokenize_light_udf
+from url_pattern_algorithm_spark.scaling import gated_dim as _gated_dim
 
 
 def explode_kv(urls: DataFrame, url_col: str = "url",

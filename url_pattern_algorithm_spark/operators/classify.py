@@ -19,7 +19,7 @@ from pyspark.sql.functions import pandas_udf
 
 from url_pattern_algorithm_spark.kernel.tokenize import tokenize_full
 from url_pattern_algorithm_spark.kernel.tree import structural_match
-from url_pattern_algorithm_spark.scaling import broadcast_if_small
+from url_pattern_algorithm_spark.scaling import broadcast_if_small, gated_dim
 
 
 def classify_structural(
@@ -119,7 +119,7 @@ def support_ratio(membership: DataFrame, nodes: DataFrame,
         F.sum("leaf_size").alias("matched_size")
     )
     return (
-        per_url.join(broadcast_if_small(totals, est_hosts), "host")
+        per_url.join(gated_dim(totals, est_hosts), "host")
         .withColumn("support", F.col("matched_size") / F.col("total"))
         .withColumn("is_theme", F.col("support") >= min_support)
     )

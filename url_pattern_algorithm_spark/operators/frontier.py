@@ -212,9 +212,12 @@ def robots_filter(candidates: DataFrame, robots: DataFrame,
     caller-known robots row count (the crawl loop probes once per run);
     when None a bounded probe decides. Uses url (raw) path.
 
-    Default mode: drop candidates whose path starts with any disallow
-    prefix (allow rows ignored) — the crawl loop's parity semantics (the
-    pure-python oracle implements the same rule).
+    Default mode: drop candidates whose path matches any disallow rule
+    (allow rows ignored) — the crawl loop's parity semantics (the
+    pure-python oracle implements the same rule). Plain prefixes match by
+    startswith; prefixes carrying the spec's wildcards ('*' run, trailing
+    '$' anchor — body-parsed robots produce these) match via their
+    translated regex, so raw-robots.txt rules are honored here too.
 
     ``longest_match=True``: standard robots.txt precedence — among all
     rules whose PATTERN matches the path, the LONGEST (raw pattern length;
@@ -235,34 +238,52 @@ def robots_filter(candidates: DataFrame, robots: DataFrame,
     # candidate streams always contain some)
     _parse = getattr(F, "try_parse_url", F.parse_url)
     path = F.coalesce(_parse(F.col("url"), F.lit("PATH")), F.lit("/"))
+
+    # pattern -> anchored regex, built once per DIMENSION row (never per
+    # candidate): escape every regex metachar, then '\*' -> '.*' and a
+    # trailing '\$' back to the '$' anchor, '^'-prefixed
+    def _pattern_rx():
+        esc = F.regexp_replace(F.col("prefix"),
+                               r"([.^$|?*+()\[\]{}\\])", r"\\$1")
+        wild = F.regexp_replace(esc, r"\\\*", ".*")
+        anchored = F.regexp_replace(wild, r"\\\$$", r"\$")
+        return F.concat(F.lit("^"), anchored)
+
     if not longest_match:
+        # body-parsed prefixes may carry '*'/'$' wildcards — a literal
+        # startswith silently no-ops those rules, so wildcard rows match
+        # via their translated regex; plain prefixes keep the startswith
+        # fast path (same kernel/crawl_oracle._robots_allowed semantics)
         disallow = robots.filter(~F.col("allow")).select(
             F.col("host").alias("r_host"), F.col("prefix")
+        ).withColumn(
+            "_rx",
+            F.when(
+                F.col("prefix").contains("*") | F.col("prefix").endswith("$"),
+                _pattern_rx(),
+            ),
         )
         joined = candidates.join(
             broadcast_if_small(disallow, est_rows),
             (F.col("host") == F.col("r_host"))
-            & path.startswith(F.col("prefix")),
+            & F.when(F.col("_rx").isNotNull(),
+                     F.regexp_like(path, F.col("_rx")))
+              .otherwise(path.startswith(F.col("prefix"))),
             "left",
         )
-        return joined.filter(F.col("r_host").isNull()).drop("r_host", "prefix")
+        return joined.filter(F.col("r_host").isNull()).drop(
+            "r_host", "prefix", "_rx"
+        )
     # per-host rule arrays: robots rule sets are tiny (dozens of rows per
     # host), so collect_list stays broadcast-sized; list order is
     # irrelevant — precedence is an order-insensitive array_max.
-    # Pattern -> anchored regex, once per DIMENSION row (never per
-    # candidate): escape every regex metachar, then '\*' -> '.*' and a
-    # trailing '\$' back to the '$' anchor, '^'-prefixed.
-    esc = F.regexp_replace(F.col("prefix"),
-                           r"([.^$|?*+()\[\]{}\\])", r"\\$1")
-    wild = F.regexp_replace(esc, r"\\\*", ".*")
-    anchored = F.regexp_replace(wild, r"\\\$$", r"\$")
     rule_sets = robots.groupBy(F.col("host").alias("r_host")).agg(
         F.collect_list(
             F.struct(
                 F.length("prefix").alias("len"),
                 F.col("allow"),
                 F.col("prefix"),
-                F.concat(F.lit("^"), anchored).alias("rx"),
+                _pattern_rx().alias("rx"),
             )
         ).alias("_rules")
     )

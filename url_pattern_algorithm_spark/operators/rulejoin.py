@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from url_pattern_algorithm_spark.scaling import broadcast_if_small
+from url_pattern_algorithm_spark.scaling import gated_dim
 
 
 def node_pair_overlap(
@@ -46,9 +46,9 @@ def node_pair_overlap(
     pruned = (
         # cluster/node-size dims grow with hosts x nodes at web scale ->
         # size-gated hints (r3 verdict class; bounded probe, AQE fallback)
-        pairs.join(broadcast_if_small(csize), "cluster_id")
-        .join(broadcast_if_small(s1), "n1")
-        .join(broadcast_if_small(s2), "n2")
+        pairs.join(gated_dim(csize), "cluster_id")
+        .join(gated_dim(s1), "n1")
+        .join(gated_dim(s2), "n2")
         # upper bound |cluster|/(s1+s2) — prune before touching url rows
         .filter(F.col("c_size") / (F.col("s1") + F.col("s2")) >= threshold)
     )
@@ -100,8 +100,8 @@ def key_mapping_argmax(
     rated = (
         combos.join(shared, ["s", "t", "key1", "key2"], "left")
         .na.fill({"shared": 0})
-        .join(broadcast_if_small(zs), "s")
-        .join(broadcast_if_small(zt), "t")
+        .join(gated_dim(zs), "s")
+        .join(gated_dim(zt), "t")
         .withColumn(
             "rate",
             F.col("shared") / (F.col("size_s") + F.col("size_t") - F.col("shared")),

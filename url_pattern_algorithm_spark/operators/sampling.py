@@ -21,8 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from url_pattern_algorithm_spark.scaling import broadcast_if_small
-from url_pattern_algorithm_spark.session import persist_tracked
+from url_pattern_algorithm_spark.scaling import gated_dim
 
 DEFAULT_CAP = 500_000  # PatternJob.java:256
 _PRECISION = 1_000_000
@@ -34,14 +33,9 @@ def host_counts(urls: DataFrame) -> DataFrame:
 
 
 def _gated_counts(counts: DataFrame, est_hosts: int | None):
-    """Size-gated hint for a per-host counts dimension. When no caller
-    estimate exists, persist the counts through the tracked registry FIRST
-    so the bounded probe materializes the aggregation once and the join
-    reads the cache — without this the probe re-ran the full fact-side
-    lineage (UDF normalize included) a second time."""
-    if est_hosts is None:
-        counts = persist_tracked(counts)
-    return broadcast_if_small(counts, est_hosts)
+    """Size-gated hint for a per-host counts dimension — the shared
+    persist-then-probe pattern (scaling.gated_dim)."""
+    return gated_dim(counts, est_hosts)
 
 
 def cap_per_host(

@@ -630,7 +630,11 @@ def run_crawl(
             robots_rules_from_bodies,
         )
 
-        robots = robots_rules_from_bodies(robots)
+        # persist for the run: the parsed table is immutable and read by
+        # the gate probe, host_crawl_delays, init_state, and every
+        # iteration's robots_filter — unpersisted, the mapInPandas body
+        # parse would re-execute 2+ times per iteration
+        robots = robots_rules_from_bodies(robots).persist()
     if "doc_index" not in docs.columns:
         docs = docs.withColumn(
             "doc_index",

@@ -244,6 +244,12 @@ def q_stream_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_candidate_stream(stream, late_threshold="1 hour"),
         name, os.path.join(root, "ckpt"), output_mode="append",
     )
+    # the memory sink holds the drained rows driver-side — the staged
+    # corpus copy + stream checkpoint are dead weight once the query
+    # terminates (bench's A/B legs re-invoke this; don't accrete in /tmp)
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
     # the surviving raw spelling per hash is arrival-order-dependent;
     # (host, url_canon) is the deterministic projection
     return spark.sql(f"SELECT DISTINCT host, url_canon FROM {name}")

@@ -115,3 +115,19 @@ def broadcast_if_small(df, est_rows: int | None = None,
     if est_rows is None:
         est_rows = df.limit(max_rows + 1).count()
     return F.broadcast(df) if est_rows <= max_rows else df
+
+
+def gated_dim(dim, est_rows: int | None = None,
+              max_rows: int = BROADCAST_MAX_ROWS):
+    """``broadcast_if_small`` for an EXPENSIVE dimension (an aggregation,
+    not a scan): with no caller estimate the dimension is tracked-persisted
+    FIRST so the bounded probe materializes the aggregation once and the
+    join reads the cache — without the persist the probe re-runs the full
+    fact-side lineage a second time. The single shared home for the
+    persist-then-probe pattern (formerly duplicated as
+    operators/sampling._gated_counts and operators/aggregates._gated_dim)."""
+    from url_pattern_algorithm_spark.session import persist_tracked
+
+    if est_rows is None:
+        dim = persist_tracked(dim)
+    return broadcast_if_small(dim, est_rows, max_rows)
