@@ -625,6 +625,7 @@ def run_crawl(
     # accept raw robots.txt bodies directly: a (host, robots_txt) frame is
     # parsed into the structured rule table (sources/robots) — same rows a
     # caller would get by pre-parsing, so parity/oracles are unaffected
+    parsed_robots = None
     if "robots_txt" in robots.columns:
         from url_pattern_algorithm_spark.sources.robots import (
             robots_rules_from_bodies,
@@ -633,8 +634,41 @@ def run_crawl(
         # persist for the run: the parsed table is immutable and read by
         # the gate probe, host_crawl_delays, init_state, and every
         # iteration's robots_filter — unpersisted, the mapInPandas body
-        # parse would re-execute 2+ times per iteration
-        robots = robots_rules_from_bodies(robots).persist()
+        # parse would re-execute 2+ times per iteration. Released in the
+        # finally below — repeated run_crawl calls in one session must not
+        # accumulate run-scoped caches (r4 ADVICE).
+        parsed_robots = robots_rules_from_bodies(robots).persist()
+        robots = parsed_robots
+    try:
+        return _run_crawl_inner(
+            spark, docs, seeds, robots, cat, n_docs, iterations, run_id,
+            resume_from, salts, use_bloom, bloom_buckets, bloom_m_bits,
+            compact_every, prune_history, pol, pending_hbuckets,
+        )
+    finally:
+        if parsed_robots is not None:
+            parsed_robots.unpersist()
+
+
+def _run_crawl_inner(
+    spark: SparkSession,
+    docs: DataFrame,
+    seeds: DataFrame,
+    robots: DataFrame,
+    cat: Catalog,
+    n_docs: int,
+    iterations: int,
+    run_id: str,
+    resume_from: int | None,
+    salts: int,
+    use_bloom: bool,
+    bloom_buckets: int,
+    bloom_m_bits: int,
+    compact_every: int,
+    prune_history: bool,
+    pol: Politeness,
+    pending_hbuckets: int,
+) -> dict[int, int]:
     if "doc_index" not in docs.columns:
         docs = docs.withColumn(
             "doc_index",

@@ -125,7 +125,13 @@ def gated_dim(dim, est_rows: int | None = None,
     join reads the cache — without the persist the probe re-runs the full
     fact-side lineage a second time. The single shared home for the
     persist-then-probe pattern (formerly duplicated as
-    operators/sampling._gated_counts and operators/aggregates._gated_dim)."""
+    operators/sampling._gated_counts and operators/aggregates._gated_dim).
+
+    Callers that KNOW the dimension cardinality should pass ``est_rows``
+    (no probe job, no persist). Probe persists land in the session's
+    tracked registry, which the query wrappers drain per query and which
+    is BOUNDED for direct library callers (session._MAX_TRACKED oldest-
+    evicted), so repeated calls cannot accumulate caches without limit."""
     from url_pattern_algorithm_spark.session import persist_tracked
 
     if est_rows is None:

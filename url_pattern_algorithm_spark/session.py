@@ -56,9 +56,23 @@ def get_spark(
 
 _PERSISTED: list = []
 
+# Direct library callers (anything reaching gated_dim outside the query
+# registry's _with_release wrappers) never drain the registry, so it is
+# BOUNDED: beyond this many tracked frames the OLDEST are evicted
+# (unpersisted). Eviction is a perf knob, never a correctness one — every
+# kernel is deterministic, so an evicted frame that is still referenced
+# simply recomputes (r4 ADVICE). Sized above any single query's persist
+# count (the widest plan tracks 4) times a few in-flight queries.
+_MAX_TRACKED = 32
+
 
 def persist_tracked(df):
     _PERSISTED.append(df.persist())
+    while len(_PERSISTED) > _MAX_TRACKED:
+        try:
+            _PERSISTED.pop(0).unpersist()
+        except Exception:
+            pass
     return df
 
 

@@ -45,9 +45,13 @@ def robots_rules_from_bodies(bodies: DataFrame, agent: str = "*",
                     prefixes.append(prefix)
                     allows.append(allow)
                     delays.append(delay)
+            # nullable Float64: missing delays must be GENUINE nulls in the
+            # Arrow batch, not NaN-coerced floats — Spark orders NaN above
+            # all doubles, so a NaN surviving into host_crawl_delays' MAX
+            # would defeat the coalesce-default (r4 ADVICE)
             yield pd.DataFrame({
                 "host": hosts, "prefix": prefixes, "allow": allows,
-                "crawl_delay": pd.array(delays, dtype="float64"),
+                "crawl_delay": pd.array(delays, dtype="Float64"),
             })
 
     return bodies.mapInPandas(parse, ROBOTS_SCHEMA)
