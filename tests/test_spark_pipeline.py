@@ -388,3 +388,69 @@ def test_robots_wildcard_patterns_longest_match(spark):
     got2 = sorted(r.url for r in robots_filter(cand2, robots2,
                                                longest_match=True).collect())
     assert got2 == ["http://h/cat7/item10", "http://h/cat7/item152"]
+
+
+def test_schedule_top_k_salting_bounds(spark):
+    # r4 verdict item 4 (PredictFssJob.java:155-185 pattern): under a hot
+    # host holding ~50% of the frontier, phase 1 of the salted two-phase
+    # top-k must (a) spread the hot host across ALL `salts` window
+    # partitions and (b) bound phase-1 survivors at salts x budget per
+    # host, so no single window task ever ranks the whole hot host.
+    from url_pattern_algorithm_spark.operators.frontier import schedule_top_k
+
+    salts, budget, n_hot, n_cold = 16, 50, 5000, 200
+    rng = spark.range(n_hot + n_cold)
+    frontier = rng.select(
+        F.when(F.col("id") < n_hot, F.lit("hot.example.com"))
+        .otherwise(F.lit("cold.example.com")).alias("host"),
+        F.col("id").cast("double").alias("priority"),
+        F.xxhash64("id").alias("url_hash"),
+        F.lit(budget).alias("budget"),
+    )
+    # phase-1 replica: the same salt derivation the operator uses
+    salted = frontier.withColumn(
+        "salt", F.pmod(F.col("url_hash"), F.lit(salts)).cast("int")
+    )
+    per_salt = (
+        salted.filter(F.col("host") == "hot.example.com")
+        .groupBy("salt").count().collect()
+    )
+    assert len(per_salt) == salts  # hot host spreads over every salt
+    # deterministic hash split: no salt partition holds a skewed share
+    assert max(r["count"] for r in per_salt) < 3 * n_hot / salts
+
+    sched = schedule_top_k(frontier, F.col("budget"), salts=salts)
+    got = sched.groupBy("host").count().collect()
+    counts = {r["host"]: r["count"] for r in got}
+    assert counts["hot.example.com"] == budget
+    assert counts["cold.example.com"] == budget
+    # exact top-k: ranks are the TRUE per-host priority order
+    top = (
+        sched.filter(F.col("host") == "hot.example.com")
+        .orderBy("sched_rank").select("priority").collect()
+    )
+    assert [r["priority"] for r in top] == [
+        float(p) for p in range(n_hot - 1, n_hot - 1 - budget, -1)
+    ]
+    # the two-phase shape is planned as WindowGroupLimit (rank pushdown):
+    # phase 1 never materializes a full per-host sort of the hot host
+    plan = sched._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_sf_corpus_tree_projections_nonempty(spark):
+    # pattern_tree_nodes / leaf_alternations left the driver registry in
+    # the r5 sweep-window consolidation (their hard signal lives in
+    # tree_invariants + the *_fixed closed-form oracles); keep the raw
+    # sf-corpus projections exercised here so the code paths stay covered.
+    from url_pattern_algorithm_spark.queries import (
+        q_leaf_alternations,
+        q_pattern_tree_nodes,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    nodes = q_pattern_tree_nodes(spark, sf_dir)
+    assert nodes.count() > 0
+    alts = q_leaf_alternations(spark, sf_dir)
+    rows = alts.collect()
+    assert rows and all(r["patterns"] for r in rows)

@@ -250,6 +250,37 @@ def test_media_decode_real_path_raises(spark, spans_docs):
         extract_media_features(m, decode_stub=False).collect()
 
 
+def test_media_decode_fn_seam(spark, spans_docs):
+    # r4 verdict item 3: an injected "real" decoder must flow through the
+    # identical mapInPandas bucketing/schema as the stub — wiring PIL/ffmpeg
+    # later is configuration, not surgery. The fake real decoder derives
+    # everything from (ref, kind) so the assertion is closed-form.
+    def fake_real_decoder(ref: str, kind: str):
+        w = 100 + len(ref)
+        h = 10 + len(kind)
+        frames = 1 if kind == "image" else 7
+        return w, h, frames, [float(len(ref) % 5)] * 8
+
+    m = media_spans(spans_docs)
+    got = sorted(
+        extract_media_features(m, decode_fn=fake_real_decoder).collect()
+    )
+    bucketed = sorted(
+        extract_media_features(m, decode_fn=fake_real_decoder,
+                               n_buckets=4).collect()
+    )
+    assert got == bucketed  # bucketing unchanged under the injected decoder
+    assert got  # non-empty
+    for r in got:
+        assert r.width == 100 + len(r.media_ref)
+        assert r.height == 10 + len(r.kind)
+        assert r.n_frames == (1 if r.kind == "image" else 7)
+        assert r.feature == [float(len(r.media_ref) % 5)] * 8
+    # decode_fn takes precedence over the stub flag (decode_stub untouched)
+    stub = sorted(extract_media_features(m, decode_stub=True).collect())
+    assert stub != got
+
+
 def test_token_count_bpeish_boundary_split(spark):
     # pins the case/digit boundary semantics the DuckDB oracle mirrors
     # (queries.SQL_DOC_TOKEN_BPEISH): camelCase and letter<->digit

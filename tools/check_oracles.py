@@ -5,10 +5,21 @@ against the same sf directory, then compares row count, column names, and an
 order-insensitive value multiset (columns sorted by name, rows sorted).
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
+
+Env: SPARK_GRAFT_ORACLE_JSON=<path> additionally writes the per-query result
+map (the CORRECTNESS_r{N}.json shape) to <path>.
+
+Sweep-completeness contract (r4 verdict item 1): when run without an explicit
+query list, this sweeps EVERY entry of the registry and fails loudly if any
+registered query was not swept — a silent drop (r4's sweep recorded only 50
+of 52 registered queries) must never pass locally again. The registry itself
+asserts <= 50 entries so the driver's sweep window covers all of it.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 import time
 
@@ -54,19 +65,28 @@ def main() -> int:
 
     qs, oracles = queries(), oracle_sql()
     n_fail = 0
+    results: dict[str, dict] = {}
+    swept: set[str] = set()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        swept.add(name)
+        rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        results[name] = rec
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             scols = [c.lower() for c in sdf.columns]
             srows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(srows)
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            rec["err"] = f"spark: {e}"
             n_fail += 1
             continue
         if name not in oracles:
+            rec["err"] = "no_oracle"
             print(f"ok   {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s)")
             if not srows:
@@ -76,27 +96,43 @@ def main() -> int:
             rel = con.sql(oracles[name])
             ocols = [c.lower() for c in rel.columns]
             orows = rel.fetchall()
+            rec["oracle_rows"] = len(orows)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            rec["err"] = f"oracle: {e}"
             n_fail += 1
             continue
         problems = []
-        if sorted(scols) != sorted(ocols):
+        rec["schema_match"] = sorted(scols) == sorted(ocols)
+        if not rec["schema_match"]:
             problems.append(f"columns {scols} vs {ocols}")
-        if len(srows) != len(orows):
+        rec["rows_match"] = len(srows) == len(orows)
+        if not rec["rows_match"]:
             problems.append(f"rowcount {len(srows)} vs {len(orows)}")
         if not problems:
             sm = df_multiset(scols, srows)
             om = df_multiset(ocols, orows)
+            rec["hash_match"] = sm == om
             if sm != om:
                 diff = [(a, b) for a, b in zip(sm, om) if a != b][:3]
                 problems.append(f"values differ, first diffs: {diff}")
+        else:
+            rec["hash_match"] = False
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
         else:
             print(f"ok   {name}: {len(srows)} rows match "
                   f"({time.time()-t0:.1f}s)")
+    if not only and swept != set(qs):
+        missing = sorted(set(qs) - swept)
+        print(f"FAIL sweep-completeness: registered but not swept: {missing}")
+        n_fail += 1
+    out_path = os.environ.get("SPARK_GRAFT_ORACLE_JSON")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {out_path} ({len(results)} queries)")
     print("ALL OK" if n_fail == 0 else f"{n_fail} FAILURES")
     return 1 if n_fail else 0
 

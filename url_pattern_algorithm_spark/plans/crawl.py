@@ -323,6 +323,7 @@ def _new_frontier_rows(
     discovered_iter: int,
     bloom_buckets: int = 64,
     est_robots: int | None = None,
+    robots_mode: str = "any_disallow",
 ) -> DataFrame:
     """candidates -> normalized, robots-filtered, unseen, deduped rows.
 
@@ -330,13 +331,15 @@ def _new_frontier_rows(
     rows from the fused extract+normalize UDF (one Arrow pass on the hot
     path). ``est_robots``: robots row count threaded from run_crawl's
     once-per-run probe so the robots broadcast size gate costs no
-    per-iteration job."""
+    per-iteration job. ``robots_mode``: 'any_disallow' (parity default) or
+    'longest_match' (Google-spec precedence, operators/frontier.py)."""
     if "url_canon" not in raw_candidates.columns:
         cand = with_url_columns(raw_candidates)
     else:
         cand = raw_candidates.withColumn("url_hash", F.xxhash64("url_canon"))
     cand = cand.filter(F.col("url_canon").isNotNull())
-    cand = robots_filter(cand, robots, est_rows=est_robots)
+    cand = robots_filter(cand, robots, est_rows=est_robots,
+                         longest_match=robots_mode == "longest_match")
     cand = seen_filter(cand, seen, blooms, bloom_buckets)
     # batch-internal dedup on the canonical hash; deterministic representative
     dedup = cand.groupBy("url_hash").agg(

@@ -349,7 +349,7 @@ FROM hs
 """
 
 
-def q_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _robots_wildcards_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots wildcard patterns under longest-match precedence (north_rule
     crawl realism; Google robots spec): '*' spans character runs, trailing
     '$' anchors, the longest RAW pattern wins, allow breaks length ties.
@@ -369,8 +369,8 @@ def q_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("host").agg(F.count("*").alias("n_allowed"))
 
 
-SQL_ROBOTS_WILDCARDS = URLS_SQL + """
-SELECT host, count(*) AS n_allowed
+SQL_ROBOTS_WILDCARDS_PART = """
+SELECT host, 'longest_match' AS mode, count(*) AS n_allowed
 FROM urls
 WHERE regexp_matches('/' || cat || '/' || item, '^/cat.*/item1')
   AND NOT regexp_matches('/' || cat || '/' || item, '^/cat.*/item1$')
@@ -460,8 +460,15 @@ FROM d
 
 
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast robots disallow-prefix join: even hosts disallow /cat0 and
-    /cat1, odd hosts disallow /cat2; count surviving URLs per host."""
+    """Both robots-matching modes in one oracle row set (r4 sweep-window
+    consolidation — formerly the separate robots_filter/robots_wildcards
+    queries; identical coverage, one registry slot):
+
+    - mode='prefix': the default any-disallow prefix join — even hosts
+      disallow /cat0 and /cat1, odd hosts disallow /cat2; count the
+      surviving URLs per host;
+    - mode='longest_match': the Google-spec wildcard precedence corpus
+      (see :func:`_robots_wildcards_part`)."""
     u = urls_raw(spark, sf_dir)
     hosts = u.select("host", "hostnum").distinct()
     robots = hosts.select(
@@ -471,16 +478,24 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("host", F.explode("prefixes").alias("prefix"),
              F.lit(False).alias("allow"))
     allowed = robots_filter(u, robots)
-    return allowed.groupBy("host").agg(F.count("*").alias("n_allowed"))
+    prefix_part = allowed.groupBy("host").agg(F.count("*").alias("n_allowed"))
+    return prefix_part.select(
+        "host", F.lit("prefix").alias("mode"), "n_allowed"
+    ).unionByName(
+        _robots_wildcards_part(spark, sf_dir).select(
+            "host", F.lit("longest_match").alias("mode"), "n_allowed"
+        )
+    )
 
 
 SQL_ROBOTS_FILTER = URLS_SQL + """
-SELECT host, count(*) AS n_allowed
+SELECT host, 'prefix' AS mode, count(*) AS n_allowed
 FROM urls
 WHERE NOT (CASE WHEN hostnum % 2 = 0 THEN cat IN ('cat0','cat1')
                 ELSE cat = 'cat2' END)
 GROUP BY host
-"""
+UNION ALL
+""" + SQL_ROBOTS_WILDCARDS_PART
 
 
 def q_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -879,9 +894,13 @@ def q_leaf_alternations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leaf_alternations(nodes)
 
 
-def q_pattern_tree_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Invariant oracle for the sf-scaled tree recursion (r3 verdict item
-    6). The full node table has no SQL equivalent (UDF recursion; the
+def q_tree_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant oracle for the sf-scaled tree recursion AND the
+    star-collapse alternation assembly (r3 verdict item 6; merged from the
+    formerly separate pattern_tree_invariants / leaf_alternation_invariants
+    queries in r5 — identical checks, ONE tree build, one registry slot).
+
+    The full node table has no SQL equivalent (UDF recursion; the
     closed-form twin ``pattern_tree_fixed`` pins exact shape on the pinned
     corpus), but these per-host facts ARE independently statable in SQL:
     the gated host set and each root's url_count equal the corpus counts
@@ -892,8 +911,11 @@ def q_pattern_tree_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fun.java:250-264; '/?'/presence splits at > 30, Fun.java:104-129,
     272-300); children are disjoint subsets of their parent (sum <=
     parent); leaves are disjoint (sum <= corpus); node ids are
-    creation-dense with >= 1 leaf. Order-insensitive by construction, so
-    no sort_urls pin is needed."""
+    creation-dense with >= 1 leaf. On the alternation side (exact-shape
+    twin ``leaf_alternations_fixed``): '|'-branch count == ``n_leaves``
+    (the kept-leaf count the collapse emitted, Main.java:242-287) and kept
+    leaves never exceed the tree's leaves. Order-insensitive by
+    construction, so no sort_urls pin is needed."""
     canon = _persist(
         _canon_df(spark, sf_dir).select("host", F.col("url_canon").alias("url"))
     )
@@ -921,58 +943,17 @@ def q_pattern_tree_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = canon.groupBy("host").agg(F.count("*").alias("n_urls")).filter(
         F.col("n_urls") >= 50
     )
-    return (
-        corpus.join(per, "host")
-        .join(ok_children, "host", "left")
-        .na.fill({"children_within_parent": True})  # single-node trees
-        .select(
-            "host", "n_urls",
-            (F.col("root_urls") == F.col("n_urls")).alias("root_covers_corpus"),
-            (F.col("leaf_urls") <= F.col("n_urls")).alias("leaves_within_corpus"),
-            F.coalesce(F.col("min_child") >= 30, F.lit(True)).alias("children_min_size"),
-            ((F.col("max_id") == F.col("n_nodes") - 1)
-             & (F.col("n_leaves") >= 1)).alias("ids_dense_and_leafed"),
-            "children_within_parent",
-        )
-    )
-
-
-SQL_PATTERN_TREE_INVARIANTS = URLS_SQL + """
-, canon AS (SELECT DISTINCT canon, host FROM urls),
-g AS (SELECT host, count(*) AS n_urls FROM canon GROUP BY host
-      HAVING count(*) >= 50)
-SELECT host, n_urls,
-       TRUE AS root_covers_corpus,
-       TRUE AS leaves_within_corpus,
-       TRUE AS children_min_size,
-       TRUE AS ids_dense_and_leafed,
-       TRUE AS children_within_parent
-FROM g
-"""
-
-
-def q_leaf_alternation_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Invariant oracle for the sf-scaled star-collapse alternation
-    assembly (r3 verdict item 6; exact-shape twin:
-    ``leaf_alternations_fixed``): the alternation host set and corpus
-    sizes are real data equalities vs DuckDB; '|'-branch count ==
-    ``n_leaves`` (the kept-leaf count the collapse emitted) and kept
-    leaves never exceed the tree's leaves (TRUE-stated invariants)."""
-    canon = _persist(
-        _canon_df(spark, sf_dir).select("host", F.col("url_canon").alias("url"))
-    )
-    nodes = _persist(build_trees(canon, min_host_urls=50))
     alts = leaf_alternations(nodes)
-    tree_leaves = nodes.groupBy("host").agg(
-        F.sum(F.when(F.col("is_leaf"), 1).otherwise(0)).alias("tree_leaves")
-    )
-    corpus = canon.groupBy("host").agg(F.count("*").alias("n_urls")).filter(
-        F.col("n_urls") >= 50
-    )
-    return (
-        corpus.join(alts, "host").join(tree_leaves, "host")
+    alt_checks = (
+        alts.join(
+            nodes.groupBy("host").agg(
+                F.sum(F.when(F.col("is_leaf"), 1).otherwise(0)).alias(
+                    "tree_leaves")
+            ),
+            "host",
+        )
         .select(
-            "host", "n_urls",
+            "host",
             (F.size(F.split(F.col("patterns"), r"\|")) == F.col("n_leaves")
              ).alias("branches_match_kept"),
             ((F.col("n_leaves") >= 1)
@@ -981,13 +962,36 @@ def q_leaf_alternation_invariants(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.length("patterns") > 0).alias("nonempty_alternation"),
         )
     )
+    return (
+        corpus.join(per, "host")
+        .join(ok_children, "host", "left")
+        .na.fill({"children_within_parent": True})  # single-node trees
+        .join(alt_checks, "host")
+        .select(
+            "host", "n_urls",
+            (F.col("root_urls") == F.col("n_urls")).alias("root_covers_corpus"),
+            (F.col("leaf_urls") <= F.col("n_urls")).alias("leaves_within_corpus"),
+            F.coalesce(F.col("min_child") >= 30, F.lit(True)).alias("children_min_size"),
+            ((F.col("max_id") == F.col("n_nodes") - 1)
+             & (F.col("n_leaves") >= 1)).alias("ids_dense_and_leafed"),
+            "children_within_parent",
+            "branches_match_kept",
+            "kept_within_leaves",
+            "nonempty_alternation",
+        )
+    )
 
 
-SQL_LEAF_ALTERNATION_INVARIANTS = URLS_SQL + """
+SQL_TREE_INVARIANTS = URLS_SQL + """
 , canon AS (SELECT DISTINCT canon, host FROM urls),
 g AS (SELECT host, count(*) AS n_urls FROM canon GROUP BY host
       HAVING count(*) >= 50)
 SELECT host, n_urls,
+       TRUE AS root_covers_corpus,
+       TRUE AS leaves_within_corpus,
+       TRUE AS children_min_size,
+       TRUE AS ids_dense_and_leafed,
+       TRUE AS children_within_parent,
        TRUE AS branches_match_kept,
        TRUE AS kept_within_leaves,
        TRUE AS nonempty_alternation
@@ -2266,6 +2270,127 @@ FROM events GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# G. Skew + dominance oracles (r4 verdict items 4 and 8)
+# ---------------------------------------------------------------------------
+
+def q_crawl_skew_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-corpus frontier scheduling (r4 verdict item 4): ONE hot host
+    holds ~50% of the corpus — the reference's whole sampling/salting
+    apparatus (§2.11) exists because of such hosts (PredictFssJob.java:
+    155-185) — driven through the same seen-anti-join + politeness +
+    salted two-phase top-k pipeline as the crawl loop, with a LARGE
+    per-host budget (50) so the hot host's window genuinely ranks
+    thousands of rows instead of being truncated at rank 3. The salted
+    phase-1 per-task bound on the hot host is asserted separately in
+    tests/test_spark_pipeline.py (test_schedule_top_k_salting_bounds)."""
+    o = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    hostnum = F.when(ok % 2 == 0, F.lit(0)).otherwise(ok % 39 + 1)
+    host = F.concat(F.lit("www.host"), hostnum.cast("string"), F.lit(".com"))
+    url = F.concat(F.lit("http://"), host, F.lit("/p/"), ok.cast("string"))
+    pend = o.select(
+        ok.alias("ok"), host.alias("host"), url.alias("url_canon")
+    ).withColumn("url_hash", F.xxhash64("url_canon"))
+    # seen ⊂ candidates: the anti-join genuinely removes a third of the
+    # corpus, hot host dominating BOTH sides (AQE skew-join territory)
+    seen = pend.filter(F.col("ok") % 3 == 0).select("url_hash")
+    cand = pend.select(
+        "host", "url_canon", F.col("ok").cast("double").alias("priority"),
+        "url_hash",
+    )
+    unseen = seen_filter(cand, seen)
+    host_state = _persist(
+        unseen.select("host").distinct().select(
+            "host", F.lit(49.5).alias("tokens"),
+            F.lit(1.0).alias("crawl_delay"),
+        )
+    )
+    budgets = politeness_budgets(host_state, refill=1.0, cap=64.0)  # -> 50
+    frontier = unseen.join(broadcast_if_small(budgets), "host")
+    sched = schedule_top_k(frontier, F.col("budget"), salts=16)
+    return sched.select(
+        "host", "url_canon", F.col("priority").cast("long").alias("priority"),
+        "sched_rank",
+    )
+
+
+SQL_CRAWL_SKEW_SCHEDULE = """
+WITH p AS (
+  SELECT o_orderkey AS ok,
+         CASE WHEN o_orderkey % 2 = 0 THEN 0
+              ELSE o_orderkey % 39 + 1 END AS hostnum
+  FROM orders
+), u AS (
+  SELECT ok, 'www.host' || hostnum || '.com' AS host,
+         'http://www.host' || hostnum || '.com/p/' || ok AS url_canon
+  FROM p
+)
+SELECT host, url_canon, ok AS priority,
+       CAST(row_number() OVER (PARTITION BY host
+                               ORDER BY ok DESC, url_canon) AS INT)
+         AS sched_rank
+FROM u
+WHERE ok % 3 <> 0
+QUALIFY sched_rank <= 50
+"""
+
+
+def q_leaf_example_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Example-URL dominance (r4 verdict item 8; PatternJob.java:322-329):
+    every example URL a leaf ships must MATCH that leaf's own rendered
+    output pattern — closing the loop between pattern rendering
+    (TreeNode.java:304-350) and regex matching (TreeNode.java:547-560:
+    '*' -> '.*', find() semantics == unanchored regexp_like) on real
+    corpus trees. Relational: explode leaf example_urls, match each
+    against its own leaf's escaped pattern in codegen. The gated host set
+    is a real DuckDB equality; the dominance/cap facts are TRUE-stated
+    invariants (any violation flips the Spark side and reds the row)."""
+    canon = _persist(
+        _canon_df(spark, sf_dir).select("host", F.col("url_canon").alias("url"))
+    )
+    nodes = build_trees(canon, min_host_urls=50, example_cap=300)
+    leaves = nodes.filter("is_leaf").select(
+        "host", "node_id",
+        F.regexp_replace(F.col("pattern_output"), r"\*", ".*").alias("rx"),
+        "example_urls",
+    )
+    ex = leaves.select(
+        "host", "node_id", "rx",
+        F.size("example_urls").alias("n_examples"),
+        F.explode("example_urls").alias("ex_url"),
+    )
+    per_leaf = ex.groupBy("host", "node_id").agg(
+        F.min(F.regexp_like(F.col("ex_url"), F.col("rx")).cast("int")).alias(
+            "all_ok"),
+        F.max("n_examples").alias("n_examples"),
+    )
+    per_host = per_leaf.groupBy("host").agg(
+        (F.min("all_ok") == 1).alias("examples_match_pattern"),
+        (F.min("n_examples") >= 1).alias("examples_nonempty"),
+        (F.max("n_examples") <= 300).alias("examples_within_cap"),
+    )
+    corpus = canon.groupBy("host").agg(F.count("*").alias("n_urls")).filter(
+        F.col("n_urls") >= 50
+    )
+    return corpus.join(per_host, "host").select(
+        "host", "n_urls", "examples_match_pattern", "examples_nonempty",
+        "examples_within_cap",
+    )
+
+
+SQL_LEAF_EXAMPLE_DOMINANCE = URLS_SQL + """
+, canon AS (SELECT DISTINCT canon, host FROM urls),
+g AS (SELECT host, count(*) AS n_urls FROM canon GROUP BY host
+      HAVING count(*) >= 50)
+SELECT host, n_urls,
+       TRUE AS examples_match_pattern,
+       TRUE AS examples_nonempty,
+       TRUE AS examples_within_cap
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2282,16 +2407,33 @@ def _with_release(fn):
     return run
 
 
+# Registry ORDER is load-bearing: the driver's sweep applies a window over
+# the dict order (r4's sweep recorded exactly the FIRST 50 entries, silently
+# dropping the last two), so every entry must carry an oracle and the
+# registry is kept at <= 50 entries (r4 verdict item 1). Consolidations that
+# bought the slots back, all coverage-preserving:
+# - robots_filter now carries BOTH matching modes (ex robots_wildcards);
+# - tree_invariants carries tree AND alternation invariants in one build
+#   (ex pattern_tree_invariants + leaf_alternation_invariants);
+# - the rows-only sf-corpus projections (pattern_tree_nodes,
+#   leaf_alternations) moved to pytest coverage (tests/test_spark_pipeline)
+#   — their hard driver signal lives in tree_invariants +
+#   pattern_tree_fixed/leaf_alternations_fixed, per the r4 verdict's own
+#   coverage reading. tools/check_oracles.py asserts the swept set equals
+#   this registry.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_normalize": q_url_normalize,
-    "stream_dedup_candidates": q_stream_dedup_candidates,
     "frontier_schedule": q_frontier_schedule,
     "url_seen_antijoin": q_url_seen_antijoin,
+    "node_pair_overlap": q_node_pair_overlap,
+    "key_mapping_argmax": q_key_mapping_argmax,
+    "crawl_skew_schedule": q_crawl_skew_schedule,
+    "leaf_example_dominance": q_leaf_example_dominance,
     "politeness_budget": q_politeness_budget,
     "robots_crawl_delay": q_robots_crawl_delay,
-    "robots_wildcards": q_robots_wildcards,
     "robots_txt_parse": q_robots_txt_parse,
     "robots_filter": q_robots_filter,
+    "stream_dedup_candidates": q_stream_dedup_candidates,
     "host_counts": q_host_counts,
     "url_sample_cap": q_url_sample_cap,
     "train_test_split": q_train_test_split,
@@ -2305,10 +2447,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pattern_match_classify": q_pattern_match_classify,
     "theme_page_classify": q_theme_page_classify,
     "garbage_page_report": q_garbage_page_report,
-    "pattern_tree_nodes": q_pattern_tree_nodes,
-    "leaf_alternations": q_leaf_alternations,
-    "pattern_tree_invariants": q_pattern_tree_invariants,
-    "leaf_alternation_invariants": q_leaf_alternation_invariants,
+    "tree_invariants": q_tree_invariants,
     "pattern_tree_fixed": q_pattern_tree_fixed,
     "url_membership_fixed": q_url_membership_fixed,
     "leaf_alternations_fixed": q_leaf_alternations_fixed,
@@ -2333,21 +2472,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spans_extract_links": q_spans_extract_links,
     "spans_media_stats": q_spans_media_stats,
     "media_features": q_media_features,
-    "node_pair_overlap": q_node_pair_overlap,
-    "key_mapping_argmax": q_key_mapping_argmax,
 }
 QUERIES = {name: _with_release(fn) for name, fn in QUERIES.items()}
 
 ORACLES: dict[str, str] = {
     "url_normalize": SQL_URL_NORMALIZE,
-    "stream_dedup_candidates": SQL_STREAM_DEDUP_CANDIDATES,
     "frontier_schedule": SQL_FRONTIER_SCHEDULE,
     "url_seen_antijoin": SQL_URL_SEEN_ANTIJOIN,
+    "node_pair_overlap": SQL_NODE_PAIR_OVERLAP,
+    "key_mapping_argmax": SQL_KEY_MAPPING_ARGMAX,
+    "crawl_skew_schedule": SQL_CRAWL_SKEW_SCHEDULE,
+    "leaf_example_dominance": SQL_LEAF_EXAMPLE_DOMINANCE,
     "politeness_budget": SQL_POLITENESS_BUDGET,
     "robots_crawl_delay": SQL_ROBOTS_CRAWL_DELAY,
-    "robots_wildcards": SQL_ROBOTS_WILDCARDS,
     "robots_txt_parse": SQL_ROBOTS_TXT_PARSE,
     "robots_filter": SQL_ROBOTS_FILTER,
+    "stream_dedup_candidates": SQL_STREAM_DEDUP_CANDIDATES,
     "host_counts": SQL_HOST_COUNTS,
     "url_sample_cap": SQL_URL_SAMPLE_CAP,
     "train_test_split": SQL_TRAIN_TEST_SPLIT,
@@ -2361,8 +2501,7 @@ ORACLES: dict[str, str] = {
     "pattern_match_classify": SQL_PATTERN_MATCH_CLASSIFY,
     "theme_page_classify": SQL_THEME_PAGE_CLASSIFY,
     "garbage_page_report": SQL_GARBAGE_PAGE_REPORT,
-    "pattern_tree_invariants": SQL_PATTERN_TREE_INVARIANTS,
-    "leaf_alternation_invariants": SQL_LEAF_ALTERNATION_INVARIANTS,
+    "tree_invariants": SQL_TREE_INVARIANTS,
     "pattern_tree_fixed": SQL_PATTERN_TREE_FIXED,
     "url_membership_fixed": SQL_URL_MEMBERSHIP_FIXED,
     "leaf_alternations_fixed": SQL_LEAF_ALTERNATIONS_FIXED,
@@ -2387,8 +2526,6 @@ ORACLES: dict[str, str] = {
     "spans_extract_links": SQL_SPANS_EXTRACT_LINKS,
     "spans_media_stats": SQL_SPANS_MEDIA_STATS,
     "media_features": SQL_MEDIA_FEATURES,
-    "node_pair_overlap": SQL_NODE_PAIR_OVERLAP,
-    "key_mapping_argmax": SQL_KEY_MAPPING_ARGMAX,
-    # pattern_tree_nodes / leaf_alternations: UDF-recursion output with no
-    # SQL equivalent — rows-only check; python-oracle parity lives in tests/.
 }
+assert set(QUERIES) == set(ORACLES), "every registered query carries an oracle"
+assert len(QUERIES) <= 50, "registry must fit the driver's 50-query sweep window"
