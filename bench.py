@@ -35,6 +35,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "url_normalize",
     "frontier_schedule",
+    "crawl_skew_schedule",
     "url_seen_antijoin",
     "kv_entropy",
     "pattern_tree_nodes",
@@ -320,8 +321,8 @@ def main() -> None:
     # interleaved cross-round A/B (r2 verdict item 8): this box's 2x
     # co-tenant noise makes cross-day per-query numbers uninterpretable, so
     # compare HEAD against the previous round's tag inside one session.
-    # Default ref: tag r3; SPARK_GRAFT_AB_REF overrides, =skip disables.
-    ab_ref = os.environ.get("SPARK_GRAFT_AB_REF", "r3")
+    # Default ref: tag r4; SPARK_GRAFT_AB_REF overrides, =skip disables.
+    ab_ref = os.environ.get("SPARK_GRAFT_AB_REF", "r4")
     if ab_ref != "skip":
         try:
             spark = _spark(f"local[{CPUS}]")

@@ -131,3 +131,39 @@ def test_fp_rate_at_design_load():
         ) & 1 == 1
     fp = hit.mean()
     assert fp < 0.02, fp
+
+
+def test_bloom_fp_rate_at_derived_sizing(spark):
+    # r4 verdict item 6: a MEASURED fp-rate assertion at the derived sizing
+    # (scaling.derive_bloom_m_bits: ~10 bits/key design load, 7 hashes ->
+    # ~0.9% expected fp), so future m_bits/hash-count changes can't
+    # silently degrade the prefilter that routes the steady-state majority
+    # of candidates around the seen anti-join.
+    from url_pattern_algorithm_spark.scaling import (
+        derive_bloom_buckets,
+        derive_bloom_m_bits,
+    )
+
+    # 64 buckets x ~13107 keys: keys/bucket x 10 lands exactly at the 2^17
+    # per-bucket clamp floor, so this is the WORST-CASE (fullest) load the
+    # derivation ever produces — larger corpora derive proportionally
+    # larger m at the same ~10 bits/key
+    n_keys = 838_860
+    n_buckets = derive_bloom_buckets(n_keys)
+    m_bits = derive_bloom_m_bits(n_keys, n_buckets)
+    assert n_buckets == 64 and m_bits == 1 << 17
+    bits_per_key = m_bits * n_buckets / n_keys
+    assert 10.0 <= bits_per_key < 11.0  # the documented design load
+
+    seen = spark.range(n_keys).select(F.xxhash64("id").alias("url_hash"))
+    blooms = build_bloom(seen, n_buckets, m_bits=m_bits)
+    n_probe = 200_000
+    unseen = spark.range(n_keys, n_keys + n_probe).select(
+        F.xxhash64("id").alias("url_hash")
+    )
+    tagged = bloom_maybe_seen(unseen, blooms, n_buckets=n_buckets)
+    fp = tagged.filter(F.col("maybe_seen")).count() / n_probe
+    assert fp < 0.02, f"fp rate {fp:.4f} exceeds 2% at derived sizing"
+    # and still zero false negatives at this load
+    tagged_seen = bloom_maybe_seen(seen, blooms, n_buckets=n_buckets)
+    assert tagged_seen.filter(~F.col("maybe_seen")).count() == 0

@@ -179,3 +179,100 @@ def test_reader_during_rewrite_sees_whole_versions(cat):
     torn = [r for r in reads if r != before]
     assert not torn, torn[:2]
     assert _rows(cat, "t") == before
+
+
+# ---------------------------------------------------------------------------
+# write/rewrite overlap guard (r4 verdict item 7): a compaction landing
+# while an iteration's writers are in flight must be REFUSED on both sides,
+# never silently lose the write's rows to the rename-aside swap.
+# ---------------------------------------------------------------------------
+
+def test_rewrite_refused_while_writer_in_flight(cat):
+    import os
+
+    from url_pattern_algorithm_spark.sources.catalog import RewriteConflict
+
+    _write_buckets(cat, "t", [(0, "a"), (1, "b")])
+    # simulate an in-flight writer from THIS (live) pid
+    marker = cat._register_writer("t")
+    try:
+        with pytest.raises(RewriteConflict, match="writer.*in flight"):
+            cat.compact("t", target_partitions=1, partition_by=["bucket"])
+        # the refused rewrite released its lock: reads unaffected
+        assert _rows(cat, "t") == [(0, "a"), (1, "b")]
+        assert not os.path.isdir(cat._lock_dir("t"))
+    finally:
+        cat._deregister_writer(marker)
+    # writer gone -> rewrite proceeds
+    cat.compact("t", target_partitions=1, partition_by=["bucket"])
+    assert _rows(cat, "t") == [(0, "a"), (1, "b")]
+
+
+def test_write_refused_while_rewrite_lock_held(cat):
+    import os
+
+    from url_pattern_algorithm_spark.sources.catalog import RewriteConflict
+
+    _write_buckets(cat, "t", [(0, "a")])
+    lock = cat._lock_dir("t")
+    os.mkdir(lock)
+    with open(os.path.join(lock, "pid"), "w") as f:
+        f.write(str(os.getpid()))  # live owner
+    try:
+        with pytest.raises(RewriteConflict, match="rewrite/compaction holds"):
+            _write_buckets(cat, "t", [(1, "b")], dynamic=True)
+        # refused write deregistered its marker
+        assert cat._live_writers("t") == []
+    finally:
+        import shutil
+
+        shutil.rmtree(lock)
+    _write_buckets(cat, "t", [(1, "b")], dynamic=True)
+    assert _rows(cat, "t") == [(0, "a"), (1, "b")]
+
+
+def test_stale_dead_pid_lock_and_markers_are_stolen(cat):
+    import os
+
+    _write_buckets(cat, "t", [(0, "a"), (1, "b")])
+    # dead-pid rewrite lock (crashed compactor) must not block forever
+    lock = cat._lock_dir("t")
+    os.mkdir(lock)
+    with open(os.path.join(lock, "pid"), "w") as f:
+        f.write("999999999")  # beyond pid_max: never alive
+    # dead-pid writer marker (crashed writer) must not block rewrites
+    d = cat._writers_dir("t")
+    os.makedirs(d, exist_ok=True)
+    os.mkdir(os.path.join(d, "999999999-deadbeef"))
+    cat.compact("t", target_partitions=1, partition_by=["bucket"])
+    assert _rows(cat, "t") == [(0, "a"), (1, "b")]
+    assert not os.path.isdir(lock)
+    # and writes proceed too
+    _write_buckets(cat, "t", [(2, "c")], dynamic=True)
+    assert _rows(cat, "t") == [(0, "a"), (1, "b"), (2, "c")]
+
+
+def test_compact_seen_between_iterations_unaffected_by_guard(spark, tmp_path):
+    # the crawl's own sequencing (compact AFTER the writer pool joins) must
+    # sail through the guard — regression for the normal path
+    from url_pattern_algorithm_spark.plans.crawl import (
+        compact_seen,
+        read_seen,
+    )
+    from url_pattern_algorithm_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "g"))
+    from pyspark.sql import functions as F
+
+    for it in range(2):
+        delta = spark.range(it * 10, it * 10 + 10).select(
+            F.col("id").alias("url_hash"),
+            F.concat(F.lit("u"), F.col("id")).alias("url_canon"),
+            F.lit(it).alias("first_iter"),
+            F.pmod(F.col("id"), F.lit(4)).cast("int").alias("bucket"),
+            F.lit(it).alias("epoch"),
+        )
+        cat.write_checkpoint(delta, "seen", "r", it,
+                             partition_by=["epoch", "bucket"], dynamic=True)
+    compact_seen(cat, 1, n_buckets=4)
+    assert read_seen(cat, 1).count() == 20

@@ -376,3 +376,51 @@ def test_crawl_parity_with_per_host_crawl_delays(crawl_run, tmp_path):
     hs = {r["host"]: r["crawl_delay"]
           for r in cat.read(f"host_state_{ITERS}").collect()}
     assert any(d != 1.0 for d in hs.values())
+
+
+def test_crawl_parity_robots_longest_match_mode(crawl_run, tmp_path):
+    # r4 verdict item 5: the Google-spec longest-match mode drives an
+    # END-TO-END crawl (not just the standalone operator oracle). Rule set
+    # adds Allow /private/alpha — a longer, more specific rule that
+    # re-admits one /private subtree under longest-match precedence but is
+    # ignored by the any-disallow parity mode, so the modes provably
+    # diverge on the same corpus; both must match the oracle exactly.
+    spark, *_ = crawl_run
+    docs = docs_df(spark, N_DOCS, N_HOSTS, partitions=4)
+    seeds = seeds_df(spark, N_HOSTS)
+    robots = robots_df(spark, N_HOSTS, with_allow=True)
+    seeds_local = [(r["url"], r["priority"]) for r in seeds.collect()]
+    rules = robots_rules(N_HOSTS, with_allow=True)
+
+    oracle_lm = run_oracle_crawl(seeds_local, rules, N_DOCS, N_HOSTS, ITERS,
+                                 robots_mode="longest_match")
+    oracle_any = run_oracle_crawl(seeds_local, rules, N_DOCS, N_HOSTS, ITERS,
+                                  robots_mode="any_disallow")
+    # the allow rule actually bites: longest-match admits /private/alpha
+    assert set(oracle_lm.seen) != set(oracle_any.seen)
+    assert any("/private/alpha" in u for u, *_ in oracle_lm.pending.values())
+
+    for mode, oracle in (("longest_match", oracle_lm),
+                         ("any_disallow", oracle_any)):
+        ckpt = str(tmp_path / f"robots_{mode}")
+        counts = run_crawl(spark, docs, seeds, robots, ckpt, N_DOCS,
+                           iterations=ITERS, robots_mode=mode)
+        for it in range(1, ITERS + 1):
+            got = _spark_scheduled(spark, ckpt, it)
+            want = [(r[0], r[1], r[2], r[3], r[6]) for r in oracle.scheduled[it]]
+            assert got == want, f"{mode} iteration {it} mismatch"
+            assert counts[it] == len(want)
+        cat = Catalog(spark, ckpt)
+        got_seen = {
+            (r["url_hash"], r["first_iter"])
+            for r in read_seen(cat, ITERS).select(
+                "url_hash", "first_iter").collect()
+        }
+        assert got_seen == set(oracle.seen.items()), f"{mode} seen mismatch"
+
+
+def test_run_crawl_rejects_unknown_robots_mode(crawl_run, tmp_path):
+    spark, _, _, _, docs, seeds, robots = crawl_run
+    with pytest.raises(ValueError, match="unknown robots_mode"):
+        run_crawl(spark, docs, seeds, robots, str(tmp_path / "x"), N_DOCS,
+                  iterations=1, robots_mode="strictest")

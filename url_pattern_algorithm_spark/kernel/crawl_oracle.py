@@ -86,17 +86,43 @@ def _robots_allowed(url: str, host: str, disallow: list[tuple[str, str]]) -> boo
     return not any(h == host and _rule_matches(path, p) for h, p in disallow)
 
 
+def _robots_allowed_longest(
+    url: str, host: str, rules_by_host: dict[str, list[tuple[str, bool]]]
+) -> bool:
+    """Google-spec precedence, mirroring robots_filter(longest_match=True):
+    among matching rules the longest RAW pattern wins; allow breaks length
+    ties (the Spark side's struct array_max over (len, allow, prefix))."""
+    path = raw_path(url)
+    best = None
+    for prefix, allow in rules_by_host.get(host, ()):
+        if _rule_matches(path, prefix):
+            key = (len(prefix), allow, prefix)
+            if best is None or key > best[0]:
+                best = (key, allow)
+    return best is None or best[1]
+
+
 def run_oracle_crawl(
     seeds: list[tuple[str, float]],
     robots: list[tuple[str, str, bool]],
     n_docs: int,
     n_hosts: int,
     iterations: int = 3,
+    robots_mode: str = "any_disallow",
 ) -> OracleState:
     # rows are (host, prefix, allow) or (host, prefix, allow, crawl_delay);
     # per-host delay = MAX across rows (host_crawl_delays' conservative
     # reading), default 1.0 — mirrors plans/crawl._with_crawl_delay
     disallow = [(r[0], r[1]) for r in robots if not r[2]]
+    rules_by_host: dict[str, list[tuple[str, bool]]] = {}
+    for r in robots:
+        rules_by_host.setdefault(r[0], []).append((r[1], bool(r[2])))
+    if robots_mode == "longest_match":
+        def allowed(u: str, h: str) -> bool:
+            return _robots_allowed_longest(u, h, rules_by_host)
+    else:
+        def allowed(u: str, h: str) -> bool:
+            return _robots_allowed(u, h, disallow)
     delay: dict[str, float] = {}
     for r in robots:
         if len(r) >= 4 and r[3] is not None:
@@ -108,7 +134,7 @@ def run_oracle_crawl(
         if c is None:
             continue
         h, u, canon, host = c
-        if not _robots_allowed(u, host, disallow):
+        if not allowed(u, host):
             continue
         if h in st.pending:
             pu, pc, ph, pp, pi = st.pending[h]
@@ -155,7 +181,7 @@ def run_oracle_crawl(
                 if c is None:
                     continue
                 ch, cu, ccanon, chost = c
-                if not _robots_allowed(cu, chost, disallow):
+                if not allowed(cu, chost):
                     continue
                 if ch in st.seen:
                     continue

@@ -207,7 +207,7 @@ def prune_checkpoint_history(cat: Catalog, upto: int) -> list[str]:
     """
     dropped = []
     for name in cat.table_names():
-        base = name.split("__compact_", 1)[0]
+        base = _base_table_name(name)
         for prefix in ("bloom_", "pending_", "host_state_", "scheduled_"):
             if base.startswith(prefix):
                 try:
@@ -219,6 +219,14 @@ def prune_checkpoint_history(cat: Catalog, upto: int) -> list[str]:
                     cat.drop(name)
                     dropped.append(name)
     return dropped
+
+
+def _base_table_name(name: str) -> str:
+    """Strip the catalog's auxiliary-dir suffixes (compaction swap dirs,
+    writer markers, rewrite locks) back to the owning table name."""
+    for suffix in ("__compact_", "__writers", "__rewrite_lock"):
+        name = name.split(suffix, 1)[0]
+    return name
 
 
 def compaction_watermark(cat: Catalog) -> int:
@@ -371,13 +379,15 @@ def init_state(
     stats: dict | None = None,
     hbuckets: int = PENDING_HBUCKETS,
     delays: DataFrame | None = None,
+    robots_mode: str = "any_disallow",
 ) -> None:
     """Iteration 0: seed list -> pending snapshot + seen delta + bloom_0.
 
     ``stats`` (when given) receives ``n_hosts`` = host_state_0 row count,
     which run_crawl threads into iteration 1's politeness size gate."""
     cand = with_url_columns(seeds).filter(F.col("url_canon").isNotNull())
-    cand = robots_filter(cand, robots, est_rows=est_robots)
+    cand = robots_filter(cand, robots, est_rows=est_robots,
+                         longest_match=robots_mode == "longest_match")
     pending = cand.groupBy("url_hash").agg(
         F.min("url").alias("url"),
         F.min("url_canon").alias("url_canon"),
@@ -442,6 +452,7 @@ def run_iteration(
     stats: dict | None = None,
     hbuckets: int = PENDING_HBUCKETS,
     delays: DataFrame | None = None,
+    robots_mode: str = "any_disallow",
 ) -> int:
     """Advance one iteration from state as of ``iteration-1``; returns the
     number of scheduled URLs.
@@ -507,7 +518,7 @@ def run_iteration(
     )
     new_rows = _new_frontier_rows(
         spark, raw_candidates, robots, seen, blooms, iteration, bloom_buckets,
-        est_robots=est_robots,
+        est_robots=est_robots, robots_mode=robots_mode,
     )
     # the candidate pipeline (links UDF -> normalize UDF -> robots -> seen
     # filter -> dedup shuffle) feeds pending_N, the seen delta, bloom_N and
@@ -591,6 +602,7 @@ def run_crawl(
     prune_history: bool = False,
     pol: Politeness = DEFAULT_POLITENESS,
     pending_hbuckets: int | None = None,
+    robots_mode: str = "any_disallow",
 ) -> dict[int, int]:
     """Run (or resume) the crawl; returns {iteration: n_scheduled}.
 
@@ -611,6 +623,12 @@ def run_crawl(
     (the pending snapshots' host-hash partition count) likewise derives from
     ``n_docs`` by default — 8192 dirs at 10^10, the 16 sandbox constant
     below ~10^7.
+
+    ``robots_mode``: 'any_disallow' (the reference-parity default: a
+    candidate dies if ANY disallow rule matches; allow rows ignored) or
+    'longest_match' (Google robots spec precedence incl. wildcards —
+    operators/frontier.robots_filter longest_match=True). Both modes are
+    oracle-parity-tested end-to-end (tests/test_crawl_parity.py).
     """
     from url_pattern_algorithm_spark.scaling import (
         derive_bloom_buckets,
@@ -618,6 +636,8 @@ def run_crawl(
         derive_pending_hbuckets,
     )
 
+    if robots_mode not in ("any_disallow", "longest_match"):
+        raise ValueError(f"unknown robots_mode: {robots_mode!r}")
     if bloom_buckets is None:
         bloom_buckets = derive_bloom_buckets(n_docs)
     if bloom_m_bits is None:
@@ -646,7 +666,7 @@ def run_crawl(
         return _run_crawl_inner(
             spark, docs, seeds, robots, cat, n_docs, iterations, run_id,
             resume_from, salts, use_bloom, bloom_buckets, bloom_m_bits,
-            compact_every, prune_history, pol, pending_hbuckets,
+            compact_every, prune_history, pol, pending_hbuckets, robots_mode,
         )
     finally:
         if parsed_robots is not None:
@@ -671,6 +691,7 @@ def _run_crawl_inner(
     prune_history: bool,
     pol: Politeness,
     pending_hbuckets: int,
+    robots_mode: str = "any_disallow",
 ) -> dict[int, int]:
     if "doc_index" not in docs.columns:
         docs = docs.withColumn(
@@ -699,7 +720,8 @@ def _run_crawl_inner(
             # a crash inside Catalog.rewrite's swap window leaves the live
             # data under <base>__compact_old; wipe by BASE name so a prior
             # run's seen table can't be resurrected by _recover mid-run
-            base = name.split("__compact_", 1)[0]
+            # (likewise stale writer markers / rewrite locks)
+            base = _base_table_name(name)
             if (base in ("seen", "_compaction", "_metrics")
                     or base.startswith(("bloom_", "pending_",
                                         "host_state_", "scheduled_"))):
@@ -710,7 +732,7 @@ def _run_crawl_inner(
                    use_bloom=use_bloom, bloom_buckets=bloom_buckets,
                    bloom_m_bits=bloom_m_bits, est_robots=est_robots,
                    stats=init_stats, hbuckets=pending_hbuckets,
-                   delays=delays)
+                   delays=delays, robots_mode=robots_mode)
         est_hosts = init_stats.get("n_hosts")
     else:
         _check_run_meta(cat, bloom_buckets, bloom_m_bits, resume_from)
@@ -728,7 +750,7 @@ def _run_crawl_inner(
             spark, docs, robots, cat, run_id, it, n_docs, salts, use_bloom,
             bloom_buckets=bloom_buckets, bloom_m_bits=bloom_m_bits, pol=pol,
             est_hosts=est_hosts, est_robots=est_robots, stats=it_stats,
-            hbuckets=pending_hbuckets, delays=delays,
+            hbuckets=pending_hbuckets, delays=delays, robots_mode=robots_mode,
         )
         est_hosts = it_stats.get("n_hosts")
         _write_run_meta(cat, bloom_buckets, bloom_m_bits, it)

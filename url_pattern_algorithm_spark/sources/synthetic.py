@@ -190,19 +190,25 @@ def seeds_df(spark: SparkSession, n_hosts: int = 8) -> DataFrame:
 
 
 def robots_df(spark: SparkSession, n_hosts: int = 8,
-              with_delays: bool = False) -> DataFrame:
+              with_delays: bool = False,
+              with_allow: bool = False) -> DataFrame:
     """Synthetic robots rules (F2): '/private' disallowed everywhere; hot
     host additionally disallows '/list'. ``with_delays=True`` adds the
     per-host Crawl-delay directive column (1.0 + h % 3 — non-uniform, so
-    politeness budgets diverge across hosts)."""
-    rows = robots_rules(n_hosts, with_delays)
+    politeness budgets diverge across hosts). ``with_allow=True`` adds an
+    Allow '/private/alpha' row per host — a longer, more specific rule
+    that re-admits one '/private' subtree under longest-match precedence
+    but is IGNORED by the any-disallow parity mode, so the two
+    ``robots_mode``s provably diverge on the same corpus."""
+    rows = robots_rules(n_hosts, with_delays, with_allow)
     schema = "host string, prefix string, allow boolean"
     if with_delays:
         schema += ", crawl_delay double"
     return spark.createDataFrame(rows, schema)
 
 
-def robots_rules(n_hosts: int = 8, with_delays: bool = False) -> list[tuple]:
+def robots_rules(n_hosts: int = 8, with_delays: bool = False,
+                 with_allow: bool = False) -> list[tuple]:
     """Driver-side copy of the same rules (for the oracle / broadcast)."""
     rows: list[tuple] = []
     for h in range(n_hosts):
@@ -211,4 +217,6 @@ def robots_rules(n_hosts: int = 8, with_delays: bool = False) -> list[tuple]:
         rows.append((host, "/private", False) + delay)
         if h == 0:
             rows.append((host, "/list", False) + delay)
+        if with_allow:
+            rows.append((host, "/private/alpha", True) + delay)
     return rows
