@@ -33,8 +33,9 @@ def main() -> None:
     finally:
         spark.stop()
     result = {"ref": ref, "reps": reps, "sf_dir": sf_dir, "queries": out}
+    tag = "_".join(sorted(names))[:60]
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH", f"reps_ab_{ref}.json")
+        os.path.abspath(__file__))), "BENCH", f"reps_ab_{ref}_{tag}.json")
     with open(path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
