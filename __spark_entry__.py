@@ -4,9 +4,14 @@
 - ``queries()``     — one entry per implemented operator family
   (SURVEY.md §2), each (spark, sf_dir) -> DataFrame;
 - ``oracle_sql()``  — DuckDB-runnable ANSI SQL stating each query's expected
-  result on the same parquet tables. UDF-recursion queries (pattern-tree
-  build, rewrite-rule learning) have no SQL equivalent and are omitted —
-  their bit-parity is enforced by the pure-python oracles in tests/.
+  result on the same parquet tables.
+
+Every registered query carries an oracle (r5): the registry is capped at 50
+entries so the driver's sweep window covers ALL of it, and
+tools/check_oracles.py asserts swept == registered. The sf-corpus
+UDF-recursion projections with no SQL statement (raw node/alternation
+tables) live as pytest coverage; their hard driver signal is the
+tree_invariants / *_fixed oracle queries.
 """
 
 from __future__ import annotations
