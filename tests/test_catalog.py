@@ -276,3 +276,39 @@ def test_compact_seen_between_iterations_unaffected_by_guard(spark, tmp_path):
                              partition_by=["epoch", "bucket"], dynamic=True)
     compact_seen(cat, 1, n_buckets=4)
     assert read_seen(cat, 1).count() == 20
+
+
+def test_compact_seen_refused_before_watermark_side_effect(spark, tmp_path):
+    # a compaction refused by in-flight seen writers must not strand a
+    # watermark row for a compaction that never ran (that would poison
+    # resume_from refusals for no reason)
+    from pyspark.sql import functions as F
+
+    from url_pattern_algorithm_spark.plans.crawl import (
+        compact_seen,
+        compaction_watermark,
+    )
+    from url_pattern_algorithm_spark.sources.catalog import (
+        Catalog,
+        RewriteConflict,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "c"))
+    delta = spark.range(10).select(
+        F.col("id").alias("url_hash"),
+        F.concat(F.lit("u"), F.col("id")).alias("url_canon"),
+        F.lit(0).alias("first_iter"),
+        F.pmod(F.col("id"), F.lit(4)).cast("int").alias("bucket"),
+        F.lit(0).alias("epoch"),
+    )
+    cat.write_checkpoint(delta, "seen", "r", 0,
+                         partition_by=["epoch", "bucket"], dynamic=True)
+    marker = cat._register_writer("seen")
+    try:
+        with pytest.raises(RewriteConflict, match="writer.*in flight"):
+            compact_seen(cat, 0, n_buckets=4)
+        assert compaction_watermark(cat) == -1  # no poisoned watermark
+    finally:
+        cat._deregister_writer(marker)
+    compact_seen(cat, 0, n_buckets=4)
+    assert compaction_watermark(cat) == 0

@@ -185,3 +185,73 @@ def test_run_crawl_accepts_raw_bodies(spark, tmp_path):
 
     for it in range(1, iters + 1):
         assert sched(roots["bodies"], it) == sched(roots["structured"], it)
+
+
+def test_robots_longest_match_randomized_cross_check(spark):
+    # randomized (seeded, deterministic) cross-check: the Spark
+    # longest-match join (operators/frontier.robots_filter) must agree
+    # with the pure-python precedence kernel
+    # (kernel/crawl_oracle._robots_allowed_longest) on every candidate of
+    # a generated rule/path population — the two implementations share
+    # only the SPEC, not code.
+    import random
+
+    from url_pattern_algorithm_spark.kernel.crawl_oracle import (
+        _robots_allowed_longest,
+    )
+    from url_pattern_algorithm_spark.operators.frontier import robots_filter
+
+    rng = random.Random(20260818)
+    segs = ["cat", "item", "a", "bb", "x1", "p.q", "z+w"]
+
+    def rand_pattern():
+        parts = ["/" + rng.choice(segs) for _ in range(rng.randint(1, 3))]
+        p = "".join(parts)
+        if rng.random() < 0.4:
+            i = rng.randint(1, len(p) - 1)
+            p = p[:i] + "*" + p[i:]
+        if rng.random() < 0.3:
+            p += "$"
+        return p
+
+    hosts = [f"h{i}.test" for i in range(6)]
+    rules = []
+    for h in hosts:
+        for _ in range(rng.randint(1, 5)):
+            rules.append((h, rand_pattern(), rng.random() < 0.5))
+    cands = []
+    for i in range(400):
+        h = rng.choice(hosts)
+        path = "".join("/" + rng.choice(segs)
+                       for _ in range(rng.randint(1, 4)))
+        cands.append((h, f"http://{h}{path}", path))
+
+    rules_by_host = {}
+    for h, p, a in rules:
+        rules_by_host.setdefault(h, []).append((p, a))
+    want = sorted(
+        url for h, url, path in cands
+        if _robots_allowed_longest(url, h, rules_by_host)
+    )
+
+    cand_df = spark.createDataFrame(
+        [(h, u) for h, u, _ in cands], "host string, url string"
+    )
+    rules_df = spark.createDataFrame(
+        rules, "host string, prefix string, allow boolean"
+    )
+    got = sorted(r.url for r in robots_filter(
+        cand_df, rules_df, longest_match=True).collect())
+    assert got == want
+    # and the any-disallow mode against ITS kernel twin on the same data
+    from url_pattern_algorithm_spark.kernel.crawl_oracle import (
+        _robots_allowed,
+    )
+
+    disallow = [(h, p) for h, p, a in rules if not a]
+    want_any = sorted(
+        url for h, url, path in cands if _robots_allowed(url, h, disallow)
+    )
+    got_any = sorted(r.url for r in robots_filter(
+        cand_df, rules_df, longest_match=False).collect())
+    assert got_any == want_any

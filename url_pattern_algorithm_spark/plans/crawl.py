@@ -185,6 +185,11 @@ def compact_seen(cat: Catalog, upto: int, n_buckets: int = 64) -> None:
         )
         return merged.repartition(n_buckets, "bucket")
 
+    # pre-check the overlap guard BEFORE the watermark lands: a rewrite
+    # refused by in-flight seen writers must not leave a poisoned watermark
+    # that blocks resumes for a compaction that never happened (the rewrite
+    # re-checks under its lock — this is the side-effect ordering guard)
+    cat.assert_rewritable("seen")
     # watermark FIRST (fail-safe direction): a crash between the two steps
     # then refuses some resumes that would still have been valid, instead of
     # permitting a resume into already-compacted history (duplicate rows)

@@ -169,6 +169,19 @@ class Catalog:
                     os.rmdir(os.path.join(d, m))
         return live
 
+    def assert_rewritable(self, name: str) -> None:
+        """Advisory pre-check for multi-step compactions: raise
+        :class:`RewriteConflict` NOW if live writers hold ``name``, so a
+        caller can refuse BEFORE taking side effects (e.g. compact_seen's
+        watermark append, which must not land if the rewrite would be
+        refused). The rewrite itself still enforces under its lock."""
+        live = self._live_writers(name)
+        if live:
+            raise RewriteConflict(
+                f"'{name}' has {len(live)} writer(s) in flight "
+                f"({live[:3]}...): compact between iterations, not during one"
+            )
+
     def write(
         self,
         df: DataFrame,
