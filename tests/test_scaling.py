@@ -190,3 +190,41 @@ def test_ann_n_planes_default_derives(spark):
            for r in cosine_near_duplicates(df, threshold=0.99,
                                            dim=16).collect()}
     assert (0, 100) in got
+
+
+def test_salts_targets():
+    from url_pattern_algorithm_spark.scaling import derive_salts
+
+    assert derive_salts(5 * 10**9) == 4096   # 10^10 universe, half on one host
+    assert derive_salts(10**5) == 16         # sandbox floor
+    assert derive_salts(64_000_000) == 64    # 64M-row hot host -> 64-way
+    assert derive_salts(10**13) == 4096      # clamp: phase-2 stays bounded
+
+
+def test_schedule_output_salt_count_invariant(spark):
+    # the derivation is safe to apply anywhere because the top-k RESULT is
+    # a pure function of (frontier, budget): only partitioning moves with
+    # the salt count
+    from pyspark.sql import functions as F
+
+    from url_pattern_algorithm_spark.operators.frontier import schedule_top_k
+
+    rng = spark.range(3000)
+    frontier = rng.select(
+        F.when(F.col("id") < 2500, F.lit("hot.example.com"))
+        .otherwise(F.concat(F.lit("c"), (F.col("id") % 7).cast("string"),
+                            F.lit(".example.com"))).alias("host"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(100000)))
+        .cast("double").alias("priority"),
+        F.xxhash64("id").alias("url_hash"),
+        F.lit(25).alias("budget"),
+    )
+    outs = []
+    for salts in (4, 16, 128):
+        rows = sorted(
+            tuple(r) for r in schedule_top_k(
+                frontier, F.col("budget"), salts=salts
+            ).select("host", "url_hash", "sched_rank").collect()
+        )
+        outs.append(rows)
+    assert outs[0] == outs[1] == outs[2] and len(outs[0]) > 0

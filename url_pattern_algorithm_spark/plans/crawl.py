@@ -599,7 +599,7 @@ def run_crawl(
     iterations: int = 3,
     run_id: str = "run1",
     resume_from: int | None = None,
-    salts: int = 16,
+    salts: int | None = 16,
     use_bloom: bool = True,
     bloom_buckets: int | None = 64,
     bloom_m_bits: int | None = BLOOM_M_BITS,
@@ -627,7 +627,11 @@ def run_crawl(
     sandbox sizes clamp down to the tested constants. ``pending_hbuckets``
     (the pending snapshots' host-hash partition count) likewise derives from
     ``n_docs`` by default — 8192 dirs at 10^10, the 16 sandbox constant
-    below ~10^7.
+    below ~10^7. ``salts=None`` derives the top-k salt factor the same way
+    (scaling.derive_salts under a worst-case one-host-holds-half skew
+    assumption: 4096-way at 10^10, the reference's 80-way analogue); the
+    schedule OUTPUT is salt-count invariant (tests pin it), so the tested
+    16 stays the explicit default.
 
     ``robots_mode``: 'any_disallow' (the reference-parity default: a
     candidate dies if ANY disallow rule matches; allow rows ignored) or
@@ -639,10 +643,16 @@ def run_crawl(
         derive_bloom_buckets,
         derive_bloom_m_bits,
         derive_pending_hbuckets,
+        derive_salts,
     )
 
     if robots_mode not in ("any_disallow", "longest_match"):
         raise ValueError(f"unknown robots_mode: {robots_mode!r}")
+    if salts is None:
+        # worst-case skew assumption: one host could hold half the universe
+        # (the synthetic hot host holds ~50%; salting is cheap to oversize —
+        # schedule results are salt-count-invariant, only partitioning moves)
+        salts = derive_salts(n_docs // 2)
     if bloom_buckets is None:
         bloom_buckets = derive_bloom_buckets(n_docs)
     if bloom_m_bits is None:

@@ -21,6 +21,10 @@ Documented targets (pinned by tests/test_scaling.py):
   (operators/similarity.py lsh_buckets);
 - ``derive_pending_hbuckets(10**10)`` == 8192 — ~1.2M pending rows per
   partition file (plans/crawl.py PENDING_HBUCKETS);
+- ``derive_salts(5 * 10**9)`` == 4096 — the top-k salt factor under the
+  worst-case one-host-holds-half assumption at a 10^10 frontier
+  (~1.2M rows per phase-1 window task; PredictFssJob.java:155-185 is the
+  reference's 80-way hand-tuned analogue);
 - small inputs clamp DOWN to the sandbox constants, so deriving is always
   safe: derive_bloom_buckets(10**6) == 64, derive_n_planes(500) == 8.
 """
@@ -70,6 +74,19 @@ def derive_n_planes(n_rows: int, target_bucket: int = 4096) -> int:
     if n_rows <= target_bucket:
         return 8
     return max(8, min(28, math.ceil(math.log2(n_rows / target_bucket))))
+
+
+def derive_salts(est_hot_host_rows: int,
+                 rows_per_task: int = 1_000_000) -> int:
+    """Salt count for the two-phase priority top-k: enough (host, salt)
+    phase-1 partitions that the HOTTEST host's rows split into
+    ~``rows_per_task`` windows per task. The reference hard-codes 80-way
+    salting for its 16 known-hot hosts (PredictFssJob.java:155-185); this
+    derives the factor from an upper-bound estimate of the hottest host's
+    pending rows (e.g. frontier size x worst-case host share). Clamped to
+    [16, 4096]: 16 is the tested sandbox floor, 4096 bounds the phase-2
+    survivor count (salts x budget rows re-ranked exactly)."""
+    return _pow2_round(est_hot_host_rows / rows_per_task, 16, 4096)
 
 
 def derive_pending_hbuckets(n_pending: int,
