@@ -354,3 +354,118 @@ def test_ann_ivf_recall(spark):
     assert rec >= 0.5, rec
     # determinism: same centroids on a rerun
     assert kmeans_centroids(emb, k=8, iters=2, dim=64) == cents
+
+
+# ---------------------------------------------------------------------------
+# connected components / dedup cluster resolution (r5)
+# ---------------------------------------------------------------------------
+
+def _cc_python(edges, nodes):
+    """Union-find oracle."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_known_graph(spark):
+    from url_pattern_algorithm_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("x", "y")]
+    pairs = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    got = {r["node"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_path_graph_diameter(spark):
+    # worst case for label propagation: a pure path (diameter = n-1);
+    # convergence still exact within max_iters
+    from url_pattern_algorithm_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 12
+    edges = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(n - 1)]
+    pairs = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    got = {r["node"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {"n00"} and len(got) == n
+
+
+def test_connected_components_random_vs_unionfind_and_duckdb(spark):
+    # seeded random graph: Spark CC == python union-find == a DuckDB
+    # recursive-CTE oracle (min-label transitive closure) — oracle-grade
+    # signal without a registry slot (the 50-query sweep window is full)
+    import random
+
+    import duckdb
+
+    from url_pattern_algorithm_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    nodes = [f"d{i:03d}" for i in range(120)]
+    edges = sorted({
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(90)
+    })
+    touched = sorted({n for e in edges for n in e})
+    pairs = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    got = {r["node"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    want = _cc_python(edges, touched)
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    rows = con.sql("""
+        WITH RECURSIVE reach(node, r) AS (
+            SELECT a, a FROM e UNION SELECT b, b FROM e
+            UNION
+            SELECT u.node, v.r FROM reach u
+            JOIN (SELECT a AS x, b AS y FROM e
+                  UNION ALL SELECT b, a FROM e) w ON u.node = w.x
+            JOIN reach v ON v.node = w.y
+        )
+        SELECT node, min(r) FROM reach GROUP BY node
+    """).fetchall()
+    assert {n: c for n, c in rows} == want
+
+
+def test_dedup_cluster_assignments_total_policy(spark, tiny_docs):
+    from url_pattern_algorithm_spark.operators.dedup import (
+        dedup_cluster_assignments,
+        minhash_near_duplicates,
+    )
+
+    assign = dedup_cluster_assignments(tiny_docs, threshold=0.3)
+    rows = assign.collect()
+    n_docs = tiny_docs.count()
+    assert len(rows) == n_docs  # total: every doc assigned exactly once
+    by_doc = {r["doc_id"]: r for r in rows}
+    # representative is the min doc_id of its own cluster
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    for cid, members in clusters.items():
+        assert cid == min(members)
+        assert by_doc[cid]["is_representative"]
+    # every near-dup pair landed in one cluster
+    for p in minhash_near_duplicates(tiny_docs, threshold=0.3).collect():
+        assert (by_doc[p["doc_a"]]["cluster_id"]
+                == by_doc[p["doc_b"]]["cluster_id"])
+    # and at least one real multi-doc cluster exists in the fixture
+    assert any(len(m) > 1 for m in clusters.values())
