@@ -7,8 +7,8 @@
   result on the same parquet tables.
 
 Every registered query carries an oracle (r5): the registry is capped at 50
-entries so the driver's sweep window covers ALL of it, and
-tools/check_oracles.py asserts swept == registered. The sf-corpus
+entries so the driver's sweep window covers ALL of it;
+tools/verify_sweep.py checks a driver-recorded sweep against the registry. The sf-corpus
 UDF-recursion projections with no SQL statement (raw node/alternation
 tables) live as pytest coverage; their hard driver signal is the
 tree_invariants / *_fixed oracle queries.

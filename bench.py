@@ -81,27 +81,12 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         release_persisted()
         return q_rewrite_compression(s, d, amp=max(10, n_orders // 1500))
 
-    # bench-only fallback: pattern_tree_nodes left the driver registry in r5
-    # (sweep-window consolidation; its hard signal lives in tree_invariants +
-    # pattern_tree_fixed) but stays a headline BENCH workload — resolve it
-    # from the module and keep the registry's release-before-run behavior
     from url_pattern_algorithm_spark import queries as qmod
-
-    def _fn(name):
-        if name in QUERIES:
-            return QUERIES[name]
-        raw = getattr(qmod, f"q_{name}")
-
-        def run(s, d):
-            release_persisted()
-            return raw(s, d)
-
-        return run
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = (rewrite_compression_scaled if name == "rewrite_compression"
-              else _fn(name))
+              else QUERIES.get(name) or _bench_fallback(qmod, name))
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
@@ -161,6 +146,23 @@ def run_crawl_bench(spark, sf_dir: str, iterations: int = 3):
     return scheduled, dt
 
 
+def _bench_fallback(qmod, name):
+    """Resolve a bench-only query absent from the driver registry (e.g.
+    pattern_tree_nodes after the r5 sweep-window consolidation) to the
+    module's raw q_* function, wrapped with the registry's release-before-
+    run behavior. One definition serves run_queries AND the A/B leg loader
+    so head/ref timings can't diverge on wrapping."""
+    raw = getattr(qmod, f"q_{name}", None)
+    if raw is None:
+        return None
+
+    def run(s, d):
+        qmod.release_persisted()
+        return raw(s, d)
+
+    return run
+
+
 _BY_VALUE_MODULES: list = []
 
 
@@ -194,24 +196,14 @@ def _load_queries(pkg_root: str):
     try:
         importlib.invalidate_caches()
         qmod = importlib.import_module("url_pattern_algorithm_spark.queries")
-        # registry entries first; bench-only names (e.g. pattern_tree_nodes
-        # after the r5 registry consolidation) resolve to the module's raw
-        # q_* function wrapped with the same release-before-run behavior
+        # registry entries first; bench-only names resolve via the shared
+        # fallback so head/ref legs wrap identically
         queries = dict(qmod.QUERIES)
         for name in BENCH_QUERIES:
-            if name in queries:
-                continue
-            raw = getattr(qmod, f"q_{name}", None)
-            if raw is None:
-                continue
-
-            def _wrap(r=raw, release=qmod.release_persisted):
-                def run(s, d):
-                    release()
-                    return r(s, d)
-                return run
-
-            queries[name] = _wrap()
+            if name not in queries:
+                fb = _bench_fallback(qmod, name)
+                if fb is not None:
+                    queries[name] = fb
         for name, mod in list(sys.modules.items()):
             if name.startswith("url_pattern_algorithm_spark") and mod is not None:
                 cloudpickle.register_pickle_by_value(mod)

@@ -312,3 +312,17 @@ def test_compact_seen_refused_before_watermark_side_effect(spark, tmp_path):
         cat._deregister_writer(marker)
     compact_seen(cat, 0, n_buckets=4)
     assert compaction_watermark(cat) == 0
+
+
+def test_empty_lock_dir_is_stolen_atomically(cat):
+    # a lock dir with NO pid file (external damage / pre-fix crash relic)
+    # must not block forever: atomic populate-then-rename acquisition
+    # replaces an EMPTY dir in one rename, while a live populated lock is
+    # never replaced (rename onto non-empty fails)
+    import os
+
+    _write_buckets(cat, "t", [(0, "a"), (1, "b")])
+    os.mkdir(cat._lock_dir("t"))  # empty: no pid inside
+    cat.compact("t", target_partitions=1, partition_by=["bucket"])
+    assert _rows(cat, "t") == [(0, "a"), (1, "b")]
+    assert not os.path.isdir(cat._lock_dir("t"))

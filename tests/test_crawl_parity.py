@@ -424,3 +424,36 @@ def test_run_crawl_rejects_unknown_robots_mode(crawl_run, tmp_path):
     with pytest.raises(ValueError, match="unknown robots_mode"):
         run_crawl(spark, docs, seeds, robots, str(tmp_path / "x"), N_DOCS,
                   iterations=1, robots_mode="strictest")
+
+
+def test_resume_refuses_stale_bloom_format(crawl_run, tmp_path):
+    # r5 review finding: the Bloom position remix changes what stored
+    # bitmaps MEAN — resuming pre-remix bitmaps with remixed probes would
+    # silently produce false negatives past the seen anti-join. The run
+    # meta stamps a bloom_format; a mismatched resume must refuse with
+    # use_bloom=True and drop the stale bitmaps with use_bloom=False.
+    import json
+    import os
+
+    spark, ckpt, counts, oracle, docs, seeds, robots = crawl_run
+    root = str(tmp_path / "fmt")
+    run_crawl(spark, docs, seeds, robots, root, N_DOCS, iterations=2)
+    meta_path = os.path.join(root, "_run_meta.json")
+    meta = json.load(open(meta_path))
+    assert meta["bloom_format"] == 2  # r5 remix format stamped
+    meta["bloom_format"] = 1
+    json.dump(meta, open(meta_path, "w"))
+
+    with pytest.raises(ValueError, match="bloom bitmaps use position format"):
+        run_crawl(spark, docs, seeds, robots, root, N_DOCS, iterations=3,
+                  resume_from=2, run_id="stale_fmt")
+    # bloom-off resume proceeds, drops the stale-format bitmaps, and the
+    # bloomless continuation still matches the oracle exactly
+    counts2 = run_crawl(spark, docs, seeds, robots, root, N_DOCS,
+                        iterations=3, resume_from=2, run_id="nobloom",
+                        use_bloom=False)
+    assert not any(n.startswith("bloom_")
+                   for n in Catalog(spark, root).table_names())
+    got = _spark_scheduled(spark, root, 3)
+    want = [(r[0], r[1], r[2], r[3], r[6]) for r in oracle.scheduled[3]]
+    assert got == want and counts2[3] == len(want)

@@ -9,11 +9,12 @@ Usage: python tools/check_oracles.py [sf_dir] [query ...]
 Env: SPARK_GRAFT_ORACLE_JSON=<path> additionally writes the per-query result
 map (the CORRECTNESS_r{N}.json shape) to <path>.
 
-Sweep-completeness contract (r4 verdict item 1): when run without an explicit
-query list, this sweeps EVERY entry of the registry and fails loudly if any
-registered query was not swept — a silent drop (r4's sweep recorded only 50
-of 52 registered queries) must never pass locally again. The registry itself
-asserts <= 50 entries so the driver's sweep window covers all of it.
+Sweep-completeness contract (r4 verdict item 1): the registry asserts <= 50
+oracle-bearing entries so the driver's sweep window covers all of it, and
+``tools/verify_sweep.py CORRECTNESS_rNN.json`` checks a DRIVER-recorded
+sweep against the registry (a silent drop like r4's 50-of-52 then fails
+loudly — this tool itself iterates the registry, so checking itself would
+be tautological).
 """
 
 from __future__ import annotations
@@ -66,11 +67,9 @@ def main() -> int:
     qs, oracles = queries(), oracle_sql()
     n_fail = 0
     results: dict[str, dict] = {}
-    swept: set[str] = set()
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        swept.add(name)
         rec = {"rows_match": None, "schema_match": None, "hash_match": None,
                "spark_rows": None, "oracle_rows": None, "err": None}
         results[name] = rec
@@ -124,10 +123,10 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(srows)} rows match "
                   f"({time.time()-t0:.1f}s)")
-    if not only and swept != set(qs):
-        missing = sorted(set(qs) - swept)
-        print(f"FAIL sweep-completeness: registered but not swept: {missing}")
-        n_fail += 1
+    # NB: sweep-completeness of THIS tool is trivially true (it iterates
+    # the registry); the check that matters is the DRIVER's sweep vs the
+    # registry — run `python tools/verify_sweep.py CORRECTNESS_rNN.json`
+    # against the driver's recorded results for that.
     out_path = os.environ.get("SPARK_GRAFT_ORACLE_JSON")
     if out_path:
         with open(out_path, "w") as f:

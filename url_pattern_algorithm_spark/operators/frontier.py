@@ -33,6 +33,12 @@ from url_pattern_algorithm_spark.scaling import broadcast_if_small
 
 BLOOM_BITS_PER_KEY = 10  # ~1% fp at k=7
 BLOOM_HASHES = 7
+# Position-derivation schema version, persisted in every crawl run's meta:
+# format 2 = murmur3-remixed positions (r5). Bitmaps built under a different
+# format CANNOT be probed or OR-merged — positions would be random w.r.t.
+# the stored bits, i.e. silent false negatives that bypass the exact seen
+# anti-join — so resume refuses on mismatch (plans/crawl._check_run_meta).
+BLOOM_FORMAT = 2
 
 
 def _remix(hashes: "np.ndarray") -> "np.ndarray":

@@ -199,18 +199,20 @@ def cluster_rows_from_text(spark: SparkSession, lines: DataFrame,
     """
     from pyspark.sql.window import Window
 
-    from url_pattern_algorithm_spark.session import persist_tracked
-
     marker = F.when(F.col("line") == "#", 1).otherwise(0)
-    # persist: BOTH passes must read the SAME materialized (line_no, line)
-    # assignment — the only caller derives line_no from
-    # monotonically_increasing_id (sources/files.py), which is
-    # partition-layout-dependent, so re-evaluating the lineage between the
-    # pass-1 collect and the pass-2 window could silently shift the driver
-    # offsets off their buckets (r4 ADVICE)
-    b = persist_tracked(lines.withColumn(
+    # localCheckpoint (NOT a tracked persist): BOTH passes must read the
+    # SAME materialized (line_no, line) assignment — the only caller
+    # derives line_no from monotonically_increasing_id (sources/files.py),
+    # which is partition-layout-dependent, so re-evaluating the lineage
+    # between the pass-1 collect and the pass-2 window could silently
+    # shift the driver offsets off their buckets (r4 ADVICE). A tracked
+    # persist is EVICTABLE (session._MAX_TRACKED) and an evicted persist
+    # recomputes — fine for deterministic kernels, correctness-fatal here;
+    # eager localCheckpoint freezes the assignment for the frame's
+    # lifetime regardless of registry pressure.
+    b = lines.withColumn(
         "_bucket", F.floor(F.col("line_no") / F.lit(rows_per_bucket))
-    ))
+    ).localCheckpoint()
     # pass 1: one small aggregate (O(buckets) rows) -> driver prefix sums
     counts = sorted(
         (int(r["_bucket"]), int(r["_n"]))

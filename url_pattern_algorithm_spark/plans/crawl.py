@@ -185,17 +185,17 @@ def compact_seen(cat: Catalog, upto: int, n_buckets: int = 64) -> None:
         )
         return merged.repartition(n_buckets, "bucket")
 
-    # pre-check the overlap guard BEFORE the watermark lands: a rewrite
-    # refused by in-flight seen writers must not leave a poisoned watermark
-    # that blocks resumes for a compaction that never happened (the rewrite
-    # re-checks under its lock — this is the side-effect ordering guard)
-    cat.assert_rewritable("seen")
-    # watermark FIRST (fail-safe direction): a crash between the two steps
-    # then refuses some resumes that would still have been valid, instead of
-    # permitting a resume into already-compacted history (duplicate rows)
-    wm = cat.spark.createDataFrame([(upto,)], "upto int")
-    cat.append(wm, "_compaction")
-    cat.rewrite("seen", collapse, partition_by=["epoch", "bucket"])
+    # the rewrite lock is held across BOTH steps: a compaction refused by
+    # in-flight seen writers (or a rival compactor) must fail BEFORE the
+    # watermark lands — a watermark for a compaction that never ran would
+    # block valid resumes. Within the lock, watermark still goes FIRST
+    # (fail-safe direction): a crash between the two steps then refuses
+    # some resumes that would still have been valid, instead of permitting
+    # a resume into already-compacted history (duplicate rows).
+    with cat.rewrite_lock("seen"):
+        wm = cat.spark.createDataFrame([(upto,)], "upto int")
+        cat.append(wm, "_compaction")
+        cat.rewrite_locked("seen", collapse, partition_by=["epoch", "bucket"])
 
 
 def prune_checkpoint_history(cat: Catalog, upto: int) -> list[str]:
@@ -259,17 +259,21 @@ def _write_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int,
     # meta is rewritten after EVERY iteration: write-to-temp + atomic
     # os.replace so a crash mid-write can't leave truncated JSON that
     # blocks the resume path
+    from url_pattern_algorithm_spark.operators.frontier import BLOOM_FORMAT
+
     final = os.path.join(cat.root, "_run_meta.json")
     tmp = final + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"bloom_buckets": bloom_buckets,
                    "bloom_m_bits": bloom_m_bits,
+                   "bloom_format": BLOOM_FORMAT,
                    "last_iteration": last_iteration}, f)
     os.replace(tmp, final)
 
 
 def _check_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int,
-                    resume_from: int | None = None) -> None:
+                    resume_from: int | None = None,
+                    use_bloom: bool = True) -> None:
     import json
     import os
 
@@ -294,6 +298,25 @@ def _check_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int,
             f"{meta}: stored bitmaps and seen buckets are keyed by these — "
             "resume with the original values or start a fresh run"
         )
+    from url_pattern_algorithm_spark.operators.frontier import BLOOM_FORMAT
+
+    stored_format = meta.get("bloom_format", 1)  # pre-r5 metas: raw-hash
+    if stored_format != BLOOM_FORMAT:
+        if use_bloom:
+            raise ValueError(
+                f"checkpoint bloom bitmaps use position format "
+                f"{stored_format}, this build probes format {BLOOM_FORMAT} "
+                "(r5 remix): probing them would produce SILENT false "
+                "negatives past the seen anti-join — start a fresh run, or "
+                "resume with use_bloom=False (stale-format bitmaps are then "
+                "dropped and rebuild from the seen table when re-enabled)"
+            )
+        # bloom disabled: the stale-format snapshots must not survive to be
+        # probed by a LATER use_bloom=True resume — drop them (derived
+        # data; _read_blooms rebuilds from the seen table when needed)
+        for name in cat.table_names():
+            if _base_table_name(name).startswith("bloom_"):
+                cat.drop(name)
     last = meta.get("last_iteration")
     if (resume_from is not None and last is not None
             and resume_from > last):
@@ -750,7 +773,8 @@ def _run_crawl_inner(
                    delays=delays, robots_mode=robots_mode)
         est_hosts = init_stats.get("n_hosts")
     else:
-        _check_run_meta(cat, bloom_buckets, bloom_m_bits, resume_from)
+        _check_run_meta(cat, bloom_buckets, bloom_m_bits, resume_from,
+                        use_bloom=use_bloom)
         wm = compaction_watermark(cat)
         if resume_from < wm:
             raise ValueError(

@@ -2354,14 +2354,22 @@ def q_leaf_example_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.col("pattern_output"), r"\*", ".*").alias("rx"),
         "example_urls",
     )
+    # explode_OUTER: a leaf regressing to example_urls = [] must still
+    # reach the aggregate (as one null-ex_url row with n_examples = 0) so
+    # examples_nonempty actually reds — plain explode would drop the leaf
+    # and the invariant could never catch its target violation
     ex = leaves.select(
         "host", "node_id", "rx",
         F.size("example_urls").alias("n_examples"),
-        F.explode("example_urls").alias("ex_url"),
+        F.explode_outer("example_urls").alias("ex_url"),
     )
     per_leaf = ex.groupBy("host", "node_id").agg(
-        F.min(F.regexp_like(F.col("ex_url"), F.col("rx")).cast("int")).alias(
-            "all_ok"),
+        F.min(
+            F.coalesce(
+                F.regexp_like(F.col("ex_url"), F.col("rx")).cast("int"),
+                F.lit(1),  # empty leaf: no example to fail the MATCH check
+            )
+        ).alias("all_ok"),
         F.max("n_examples").alias("n_examples"),
     )
     per_host = per_leaf.groupBy("host").agg(
@@ -2419,8 +2427,8 @@ def _with_release(fn):
 #   leaf_alternations) moved to pytest coverage (tests/test_spark_pipeline)
 #   — their hard driver signal lives in tree_invariants +
 #   pattern_tree_fixed/leaf_alternations_fixed, per the r4 verdict's own
-#   coverage reading. tools/check_oracles.py asserts the swept set equals
-#   this registry.
+#   coverage reading. tools/verify_sweep.py checks a driver-recorded sweep
+#   against this registry.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_normalize": q_url_normalize,
     "frontier_schedule": q_frontier_schedule,

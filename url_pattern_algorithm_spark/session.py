@@ -59,10 +59,13 @@ _PERSISTED: list = []
 # Direct library callers (anything reaching gated_dim outside the query
 # registry's _with_release wrappers) never drain the registry, so it is
 # BOUNDED: beyond this many tracked frames the OLDEST are evicted
-# (unpersisted). Eviction is a perf knob, never a correctness one — every
-# kernel is deterministic, so an evicted frame that is still referenced
-# simply recomputes (r4 ADVICE). Sized above any single query's persist
-# count (the widest plan tracks 4) times a few in-flight queries.
+# (unpersisted). Eviction makes recompute possible, so ONLY frames whose
+# lineage is deterministic may be tracked here (all kernels are) — a frame
+# whose assignment is partition-dependent (monotonically_increasing_id,
+# rand) must freeze via localCheckpoint instead, never persist_tracked
+# (see operators/rewrite.cluster_rows_from_text). Sized above any single
+# query's persist count (the widest plan tracks 4) times a few in-flight
+# queries.
 _MAX_TRACKED = 32
 
 

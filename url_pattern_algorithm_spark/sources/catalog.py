@@ -147,7 +147,10 @@ class Catalog:
         try:
             pid = int(open(os.path.join(lock, "pid")).read())
         except (OSError, ValueError):
-            return True  # mid-creation or unreadable: treat as held
+            # locks are created atomically WITH their pid file
+            # (_acquire_rewrite_lock populate-then-rename), so an
+            # unreadable pid means external damage — held, conservatively
+            return True
         return _pid_alive(pid)
 
     def _live_writers(self, name: str) -> list[str]:
@@ -229,30 +232,90 @@ class Catalog:
         lock that the next rewrite reclaims (reads are never blocked)."""
         import shutil
 
-        lock = self._lock_dir(name)
-        try:
-            os.mkdir(lock)
-        except FileExistsError:
-            if self._lock_live(lock):
-                raise RewriteConflict(
-                    f"rewrite of '{name}' refused: another rewrite holds "
-                    f"{lock}"
-                ) from None
-            shutil.rmtree(lock, ignore_errors=True)  # dead owner: steal
-            os.mkdir(lock)
-        with open(os.path.join(lock, "pid"), "w") as f:
-            f.write(str(os.getpid()))
-        try:
-            live = self._live_writers(name)
-            if live:
-                raise RewriteConflict(
-                    f"rewrite of '{name}' refused: {len(live)} writer(s) in "
-                    f"flight ({live[:3]}...) — compact between iterations, "
-                    "not during one"
-                )
+        with self.rewrite_lock(name):
             self._rewrite_locked(name, transform, partition_by)
+
+    def rewrite_lock(self, name: str):
+        """Context manager: hold ``name``'s rewrite lock across a
+        multi-step compaction (e.g. a watermark append + the rewrite
+        itself, plans/crawl.compact_seen) so no writer can slip between
+        the steps and no rival compactor can poison the side effects.
+        Acquires atomically (dead owners stolen), then refuses if live
+        writer markers exist — the same ordering :meth:`rewrite` enforces.
+        Inside the context, call :meth:`rewrite_locked`."""
+        import contextlib
+        import shutil
+
+        @contextlib.contextmanager
+        def _ctx():
+            lock = self._acquire_rewrite_lock(name)
+            try:
+                live = self._live_writers(name)
+                if live:
+                    raise RewriteConflict(
+                        f"rewrite of '{name}' refused: {len(live)} "
+                        f"writer(s) in flight ({live[:3]}...) — compact "
+                        "between iterations, not during one"
+                    )
+                yield
+            finally:
+                shutil.rmtree(lock, ignore_errors=True)
+
+        return _ctx()
+
+    def rewrite_locked(self, name: str, transform,
+                       partition_by: list[str] | None = None) -> None:
+        """Run the rewrite body while the caller already holds
+        :meth:`rewrite_lock` for ``name``."""
+        self._rewrite_locked(name, transform, partition_by)
+
+    def _acquire_rewrite_lock(self, name: str) -> str:
+        """Atomically acquire ``<name>__rewrite_lock``.
+
+        The lock dir is populated (pid file) in a temp dir FIRST and moved
+        into place with one os.rename — there is never a visible lock
+        without a readable owner pid (a crash between mkdir and pid-write
+        would otherwise leave a lock nobody can prove dead). Stealing a
+        dead-owner lock is also rename-based: the stale dir is renamed
+        ASIDE (atomic, exactly one winner — the loser's rename raises and
+        it re-examines whatever lock now exists), so two stealers can
+        never both proceed into concurrent rewrites."""
+        import uuid
+
+        lock = self._lock_dir(name)
+        tmp = f"{lock}.acq.{os.getpid()}.{uuid.uuid4().hex[:6]}"
+        os.mkdir(tmp)
+        with open(os.path.join(tmp, "pid"), "w") as f:
+            f.write(str(os.getpid()))
+        import shutil
+
+        try:
+            for _ in range(4):
+                try:
+                    # rename onto an existing NON-EMPTY dir fails; every
+                    # lock created by this protocol carries its pid file,
+                    # so a live rival's lock is never replaced
+                    os.rename(tmp, lock)
+                    return lock
+                except OSError:
+                    pass
+                if self._lock_live(lock):
+                    raise RewriteConflict(
+                        f"rewrite lock for '{name}' held by a live owner: "
+                        f"{lock}"
+                    )
+                aside = f"{lock}.dead.{uuid.uuid4().hex[:6]}"
+                try:
+                    os.rename(lock, aside)  # atomic steal: one winner
+                    shutil.rmtree(aside, ignore_errors=True)
+                except OSError:
+                    pass  # rival stole (or re-acquired) first; re-examine
+            raise RewriteConflict(
+                f"could not acquire rewrite lock for '{name}' after "
+                "repeated dead-owner steals — live contention"
+            )
         finally:
-            shutil.rmtree(lock, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def _rewrite_locked(self, name: str, transform,
                         partition_by: list[str] | None = None) -> None:
