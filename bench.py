@@ -87,6 +87,11 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     for name in BENCH_QUERIES:
         fn = (rewrite_compression_scaled if name == "rewrite_compression"
               else QUERIES.get(name) or _bench_fallback(qmod, name))
+        if fn is None:
+            raise KeyError(
+                f"bench query {name!r}: not in the driver registry and no "
+                f"q_{name} in queries.py — fix BENCH_QUERIES"
+            )
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)

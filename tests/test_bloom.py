@@ -107,7 +107,7 @@ def test_fp_rate_at_design_load():
 
     from url_pattern_algorithm_spark.operators.frontier import (
         BLOOM_BITS_PER_KEY,
-        BLOOM_HASHES,
+        _probe_bits,
         _set_bits,
     )
 
@@ -120,17 +120,13 @@ def test_fp_rate_at_design_load():
 
     probes = rng.integers(0, 1 << 63, size=200_000, dtype=np.int64).astype(np.uint64)
     probes = np.setdiff1d(probes, keys)  # disjoint from the inserted set
-    h1 = probes
-    h2 = (h1 >> np.uint64(17)) | (h1 << np.uint64(47))
-    hit = np.ones(len(h1), dtype=bool)
-    for k in range(BLOOM_HASHES):
-        pos = (h1 + np.uint64(k) * h2) % np.uint64(m)
-        hit &= (
-            bits[(pos >> np.uint64(3)).astype(np.int64)]
-            >> (pos & np.uint64(7)).astype(np.uint8)
-        ) & 1 == 1
-    fp = hit.mean()
+    # _probe_bits is the SAME kernel bloom_maybe_seen runs inside its
+    # cogroup UDF — removing the remix (or any schedule drift between
+    # builder and prober) re-measures here as >2% fp
+    fp = _probe_bits(bits, probes, m).mean()
     assert fp < 0.02, fp
+    # inserted keys must all hit (no false negatives, probe mirrors set)
+    assert _probe_bits(bits, keys, m).all()
 
 
 def test_bloom_fp_rate_at_derived_sizing(spark):

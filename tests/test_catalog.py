@@ -326,3 +326,47 @@ def test_empty_lock_dir_is_stolen_atomically(cat):
     cat.compact("t", target_partitions=1, partition_by=["bucket"])
     assert _rows(cat, "t") == [(0, "a"), (1, "b")]
     assert not os.path.isdir(cat._lock_dir("t"))
+
+
+def test_base_table_name_resolves_all_aux_suffixes():
+    # the aux naming scheme has a single home (Catalog.AUX_SUFFIXES);
+    # crash-leftover aux dirs — including the rewrite lock's .acq./.dead.
+    # temp names, which embed the lock suffix — must resolve to their
+    # owning table so fresh-run wipes and history pruning drop them too
+    b = Catalog.base_table_name
+    assert b("seen") == "seen"
+    assert b("seen__compact_tmp") == "seen"
+    assert b("seen__compact_old") == "seen"
+    assert b("seen__writers") == "seen"
+    assert b("seen__rewrite_lock") == "seen"
+    assert b("seen__rewrite_lock.acq.1234.abcdef") == "seen"
+    assert b("seen__rewrite_lock.dead.abcdef") == "seen"
+    assert b("pending_3") == "pending_3"  # plain tables pass through
+
+
+def test_register_writer_survives_parent_tidy_race(cat, monkeypatch):
+    # _deregister_writer rmdir's the writers dir when the last marker
+    # leaves; a racing _register_writer that ran makedirs before the tidy
+    # and mkdir after it sees FileNotFoundError and must retry, not fail
+    import shutil
+
+    _write_buckets(cat, "t", [(0, "a")])
+    d = cat._writers_dir("t")
+    real_mkdir = os.mkdir
+    raced = {"n": 0}
+
+    def racy_mkdir(path, *a, **k):
+        p = os.fspath(path)
+        if p.startswith(d + os.sep) and raced["n"] == 0:
+            raced["n"] += 1
+            shutil.rmtree(d)  # the finishing writer's tidy lands here
+        return real_mkdir(path, *a, **k)
+
+    monkeypatch.setattr(os, "mkdir", racy_mkdir)
+    marker = cat._register_writer("t")
+    monkeypatch.undo()
+    assert raced["n"] == 1  # the race fired and was survived
+    assert os.path.isdir(marker)
+    assert cat._live_writers("t") != []
+    cat._deregister_writer(marker)
+    assert cat._live_writers("t") == []

@@ -426,6 +426,25 @@ def test_run_crawl_rejects_unknown_robots_mode(crawl_run, tmp_path):
                   iterations=1, robots_mode="strictest")
 
 
+def test_resume_with_mismatched_robots_mode_refused(crawl_run, tmp_path):
+    # the stored seen/pending state was admitted under one robots policy;
+    # resuming under the other would silently mix two filtering policies in
+    # one crawl (a URL the old mode blocked is absent from seen, so the new
+    # mode would re-admit it mid-history). The run meta pins the mode.
+    spark, ckpt, counts, oracle, docs, seeds, robots = crawl_run
+    root = str(tmp_path / "mode")
+    run_crawl(spark, docs, seeds, robots, root, N_DOCS, iterations=2,
+              robots_mode="longest_match")
+    with pytest.raises(ValueError, match="robots_mode"):
+        run_crawl(spark, docs, seeds, robots, root, N_DOCS, iterations=3,
+                  resume_from=2, robots_mode="any_disallow")
+    # matching mode resumes fine
+    counts2 = run_crawl(spark, docs, seeds, robots, root, N_DOCS,
+                        iterations=3, resume_from=2,
+                        robots_mode="longest_match")
+    assert 3 in counts2
+
+
 def test_resume_refuses_stale_bloom_format(crawl_run, tmp_path):
     # r5 review finding: the Bloom position remix changes what stored
     # bitmaps MEAN — resuming pre-remix bitmaps with remixed probes would

@@ -6,7 +6,8 @@ this co-tenant box. bench.py's full A/B runs reps=2 over the whole headline
 list; this probe re-measures a NAMED subset at higher reps against any tag.
 
 Usage: python tools/reps_ab_probe.py <ref> <reps> <query> [query ...]
-   -> prints one JSON line and writes BENCH/reps_ab_<ref>.json
+   -> prints one JSON line and writes BENCH/reps_ab_<ref>_<queries>.json
+      (query names joined by '_', truncated to 60 chars)
 """
 
 from __future__ import annotations

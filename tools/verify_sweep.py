@@ -14,9 +14,10 @@ swept query is unknown to the registry, or any swept entry is red.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:

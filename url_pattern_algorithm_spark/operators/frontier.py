@@ -69,6 +69,26 @@ def _set_bits(bits: "np.ndarray", hashes: "np.ndarray", m: int) -> None:
                          (1 << (idx & np.uint64(7))).astype(np.uint8))
 
 
+def _probe_bits(bits: "np.ndarray", hashes: "np.ndarray",
+                m: int) -> "np.ndarray":
+    """Membership probe over the k Bloom positions — the exact mirror of
+    :func:`_set_bits` (same _remix + double-hashing schedule). Shared by
+    the Spark-side cogroup probe and tests/test_bloom.py's measured
+    fp-rate pin, so a position-schedule change can't drift between the
+    builder, the prober, and the test."""
+    h1 = _remix(hashes)
+    h2 = (h1 >> np.uint64(17)) | (h1 << np.uint64(47))
+    m_ = np.uint64(m)
+    hit = np.ones(len(h1), dtype=bool)
+    for k in range(BLOOM_HASHES):
+        pos = (h1 + np.uint64(k) * h2) % m_
+        hit &= (
+            bits[(pos >> np.uint64(3)).astype(np.int64)]
+            >> (pos & np.uint64(7)).astype(np.uint8)
+        ) & 1 == 1
+    return hit
+
+
 def build_bloom(seen: DataFrame, n_buckets: int = 64,
                 bits_per_key: int = BLOOM_BITS_PER_KEY,
                 m_bits: int | None = None) -> DataFrame:
@@ -172,19 +192,13 @@ def bloom_maybe_seen(candidates: DataFrame, blooms: DataFrame,
     def test(cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
         if bloom_pdf.empty:
             return cand_pdf.assign(maybe_seen=False)
-        m = np.uint64(int(bloom_pdf["m_bits"].iloc[0]))
+        m = int(bloom_pdf["m_bits"].iloc[0])
         bits = np.frombuffer(bloom_pdf["bitmap"].iloc[0], dtype=np.uint8)
-        h1 = _remix(
-            cand_pdf["url_hash"].to_numpy(dtype=np.int64).astype(np.uint64)
+        hit = _probe_bits(
+            bits,
+            cand_pdf["url_hash"].to_numpy(dtype=np.int64).astype(np.uint64),
+            m,
         )
-        h2 = (h1 >> np.uint64(17)) | (h1 << np.uint64(47))
-        hit = np.ones(len(h1), dtype=bool)
-        for k in range(BLOOM_HASHES):
-            pos = (h1 + np.uint64(k) * h2) % m
-            hit &= (
-                bits[(pos >> np.uint64(3)).astype(np.int64)]
-                >> (pos & np.uint64(7)).astype(np.uint8)
-            ) & 1 == 1
         return cand_pdf.assign(maybe_seen=hit)
 
     cand_b = candidates.withColumn(

@@ -226,12 +226,9 @@ def prune_checkpoint_history(cat: Catalog, upto: int) -> list[str]:
     return dropped
 
 
-def _base_table_name(name: str) -> str:
-    """Strip the catalog's auxiliary-dir suffixes (compaction swap dirs,
-    writer markers, rewrite locks) back to the owning table name."""
-    for suffix in ("__compact_", "__writers", "__rewrite_lock"):
-        name = name.split(suffix, 1)[0]
-    return name
+# the aux naming scheme is owned by the catalog (Catalog.AUX_SUFFIXES);
+# the wipe/prune sites below resolve through it
+_base_table_name = Catalog.base_table_name
 
 
 def compaction_watermark(cat: Catalog) -> int:
@@ -243,7 +240,8 @@ def compaction_watermark(cat: Catalog) -> int:
 
 
 def _write_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int,
-                    last_iteration: int = 0) -> None:
+                    last_iteration: int = 0,
+                    robots_mode: str = "any_disallow") -> None:
     """Persist the run's structural parameters (driver-side file, no Spark
     job): the bucket count is baked into every stored bloom bitmap and seen
     bucket column, so resuming with different values would silently produce
@@ -267,13 +265,15 @@ def _write_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int,
         json.dump({"bloom_buckets": bloom_buckets,
                    "bloom_m_bits": bloom_m_bits,
                    "bloom_format": BLOOM_FORMAT,
+                   "robots_mode": robots_mode,
                    "last_iteration": last_iteration}, f)
     os.replace(tmp, final)
 
 
 def _check_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int,
                     resume_from: int | None = None,
-                    use_bloom: bool = True) -> None:
+                    use_bloom: bool = True,
+                    robots_mode: str = "any_disallow") -> None:
     import json
     import os
 
@@ -317,6 +317,15 @@ def _check_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int,
         for name in cat.table_names():
             if _base_table_name(name).startswith("bloom_"):
                 cat.drop(name)
+    stored_mode = meta.get("robots_mode", "any_disallow")  # pre-r5 metas
+    if stored_mode != robots_mode:
+        raise ValueError(
+            f"resume with robots_mode={robots_mode!r} does not match the "
+            f"checkpoint's {stored_mode!r}: the stored seen/pending state "
+            "was admitted under the other policy, so continuing would "
+            "silently mix two filtering policies in one crawl — resume "
+            "with the original mode or start a fresh run"
+        )
     last = meta.get("last_iteration")
     if (resume_from is not None and last is not None
             and resume_from > last):
@@ -764,7 +773,8 @@ def _run_crawl_inner(
                     or base.startswith(("bloom_", "pending_",
                                         "host_state_", "scheduled_"))):
                 cat.drop(name)
-        _write_run_meta(cat, bloom_buckets, bloom_m_bits)
+        _write_run_meta(cat, bloom_buckets, bloom_m_bits,
+                        robots_mode=robots_mode)
         init_stats: dict = {}
         init_state(spark, seeds, robots, cat, run_id, pol,
                    use_bloom=use_bloom, bloom_buckets=bloom_buckets,
@@ -774,7 +784,7 @@ def _run_crawl_inner(
         est_hosts = init_stats.get("n_hosts")
     else:
         _check_run_meta(cat, bloom_buckets, bloom_m_bits, resume_from,
-                        use_bloom=use_bloom)
+                        use_bloom=use_bloom, robots_mode=robots_mode)
         wm = compaction_watermark(cat)
         if resume_from < wm:
             raise ValueError(
@@ -792,7 +802,8 @@ def _run_crawl_inner(
             hbuckets=pending_hbuckets, delays=delays, robots_mode=robots_mode,
         )
         est_hosts = it_stats.get("n_hosts")
-        _write_run_meta(cat, bloom_buckets, bloom_m_bits, it)
+        _write_run_meta(cat, bloom_buckets, bloom_m_bits, it,
+                        robots_mode=robots_mode)
         if compact_every and it % compact_every == 0:
             compact_seen(cat, it, bloom_buckets)
             if prune_history:

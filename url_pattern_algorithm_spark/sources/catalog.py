@@ -107,6 +107,24 @@ class Catalog:
     def table_names(self) -> list[str]:
         return sorted(os.listdir(self.root)) if os.path.isdir(self.root) else []
 
+    # every auxiliary dir the catalog creates next to a table — compaction
+    # swap dirs (__compact_tmp/__compact_old), writer markers, rewrite
+    # locks (incl. their .acq./.dead. temp names, which embed the lock
+    # suffix). base_table_name and any wipe-by-base-name caller key off
+    # this tuple, so a new aux kind MUST be added here
+    AUX_SUFFIXES = ("__compact_", "__writers", "__rewrite_lock")
+
+    @staticmethod
+    def base_table_name(name: str) -> str:
+        """Strip the catalog's auxiliary-dir suffixes back to the owning
+        table name — the single home for the aux naming scheme (see
+        AUX_SUFFIXES); plans/crawl.py's fresh-run wipe and history pruning
+        resolve dir names through this so a crash-leftover aux dir is
+        always wiped with its table."""
+        for suffix in Catalog.AUX_SUFFIXES:
+            name = name.split(suffix, 1)[0]
+        return name
+
     # -- write/rewrite overlap guard ------------------------------------
     def _writers_dir(self, name: str) -> str:
         return self.path(f"{name}__writers")
@@ -121,9 +139,16 @@ class Catalog:
         import uuid
 
         d = self._writers_dir(name)
-        os.makedirs(d, exist_ok=True)
         marker = os.path.join(d, f"{os.getpid()}-{uuid.uuid4().hex[:8]}")
-        os.mkdir(marker)
+        while True:
+            os.makedirs(d, exist_ok=True)
+            try:
+                os.mkdir(marker)
+                break
+            except FileNotFoundError:
+                # a finishing writer's _deregister_writer tidied the empty
+                # parent between our makedirs and mkdir — recreate and retry
+                continue
         lock = self._lock_dir(name)
         if os.path.isdir(lock) and self._lock_live(lock):
             os.rmdir(marker)
@@ -172,19 +197,6 @@ class Catalog:
                     os.rmdir(os.path.join(d, m))
         return live
 
-    def assert_rewritable(self, name: str) -> None:
-        """Advisory pre-check for multi-step compactions: raise
-        :class:`RewriteConflict` NOW if live writers hold ``name``, so a
-        caller can refuse BEFORE taking side effects (e.g. compact_seen's
-        watermark append, which must not land if the rewrite would be
-        refused). The rewrite itself still enforces under its lock."""
-        live = self._live_writers(name)
-        if live:
-            raise RewriteConflict(
-                f"'{name}' has {len(live)} writer(s) in flight "
-                f"({live[:3]}...): compact between iterations, not during one"
-            )
-
     def write(
         self,
         df: DataFrame,
@@ -230,8 +242,6 @@ class Catalog:
         the write's rows in the renamed-aside copy. Locks/markers from
         dead pids are stolen; a crash inside rewrite leaves a dead-pid
         lock that the next rewrite reclaims (reads are never blocked)."""
-        import shutil
-
         with self.rewrite_lock(name):
             self._rewrite_locked(name, transform, partition_by)
 
