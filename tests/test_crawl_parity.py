@@ -476,3 +476,55 @@ def test_resume_refuses_stale_bloom_format(crawl_run, tmp_path):
     got = _spark_scheduled(spark, root, 3)
     want = [(r[0], r[1], r[2], r[3], r[6]) for r in oracle.scheduled[3]]
     assert got == want and counts2[3] == len(want)
+
+
+def test_cuckoo_prefilter_equivalence(crawl_run, tmp_path):
+    # prefilter_kind='cuckoo' swaps the seen prefilter implementation only
+    # (operators/cuckoo.py); like the Bloom it is exact-safe, so scheduled
+    # batches AND the final seen set must be identical to the default run,
+    # and the checkpoint must hold cuckoo_N snapshots instead of bloom_N.
+    spark, ckpt, counts, oracle, docs, seeds, robots = crawl_run
+    root = str(tmp_path / "cuckoo")
+    counts2 = run_crawl(spark, docs, seeds, robots, root, N_DOCS,
+                        iterations=ITERS, prefilter_kind="cuckoo")
+    assert counts2 == counts
+    for it in range(1, ITERS + 1):
+        assert _spark_scheduled(spark, root, it) == _spark_scheduled(
+            spark, ckpt, it
+        )
+    cat = Catalog(spark, root)
+    got = {
+        (r["url_hash"], r["first_iter"])
+        for r in read_seen(cat, ITERS).select("url_hash", "first_iter").collect()
+    }
+    assert got == set(oracle.seen.items())
+    names = set(cat.table_names())
+    assert any(n.startswith("cuckoo_") for n in names)
+    assert not any(n.startswith("bloom_") for n in names)
+
+
+def test_cuckoo_resume_and_kind_pinned(crawl_run, tmp_path):
+    # the run meta pins prefilter_kind: the stored cuckoo_N snapshots are
+    # the incremental state a resume extends, so resuming with the bloom
+    # kind must refuse; resuming with the matching kind reproduces the
+    # uninterrupted run exactly.
+    spark, ckpt, counts, oracle, docs, seeds, robots = crawl_run
+    root = str(tmp_path / "cuckoo_resume")
+    run_crawl(spark, docs, seeds, robots, root, N_DOCS, iterations=ITERS,
+              prefilter_kind="cuckoo")
+    with pytest.raises(ValueError, match="prefilter_kind"):
+        run_crawl(spark, docs, seeds, robots, root, N_DOCS, iterations=ITERS,
+                  resume_from=ITERS - 1, run_id="wrongkind")
+    before = _spark_scheduled(spark, root, ITERS)
+    counts2 = run_crawl(spark, docs, seeds, robots, root, N_DOCS,
+                        iterations=ITERS, resume_from=ITERS - 1,
+                        prefilter_kind="cuckoo", run_id="resumed")
+    assert _spark_scheduled(spark, root, ITERS) == before
+    assert counts2[ITERS] == counts[ITERS]
+    # prefilter-off resume remains allowed (exact anti-join semantics are
+    # kind-independent) and still matches the oracle
+    counts3 = run_crawl(spark, docs, seeds, robots, root, N_DOCS,
+                        iterations=ITERS, resume_from=ITERS - 1,
+                        use_bloom=False, run_id="nofilter")
+    assert _spark_scheduled(spark, root, ITERS) == before
+    assert counts3[ITERS] == counts[ITERS]

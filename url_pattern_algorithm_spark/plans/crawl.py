@@ -45,6 +45,11 @@ from pyspark.sql import functions as F
 
 from url_pattern_algorithm_spark.functions.links import extract_normalize_udf
 from url_pattern_algorithm_spark.functions.udfs import with_url_columns
+from url_pattern_algorithm_spark.operators.cuckoo import (
+    build_cuckoo,
+    seen_filter_cuckoo,
+    update_cuckoos,
+)
 from url_pattern_algorithm_spark.operators.frontier import (
     build_bloom,
     host_crawl_delays,
@@ -203,7 +208,8 @@ def prune_checkpoint_history(cat: Catalog, upto: int) -> list[str]:
 
     run_crawl refuses resumes below the compaction watermark, so snapshots
     before it are unreachable dead weight — without pruning a 10^5-iteration
-    crawl leaves 4x10^5 checkpoint dirs. Drops ``bloom_N`` / ``pending_N`` /
+    crawl leaves 4x10^5 checkpoint dirs. Drops ``bloom_N`` / ``cuckoo_N`` /
+    ``pending_N`` /
     ``host_state_N`` for N < upto (N == upto is the live resume point) and
     ``scheduled_N`` for N <= upto (scheduled is write-only w.r.t. later
     iterations — it is the per-iteration OUTPUT log; callers that consume it
@@ -213,7 +219,8 @@ def prune_checkpoint_history(cat: Catalog, upto: int) -> list[str]:
     dropped = []
     for name in cat.table_names():
         base = _base_table_name(name)
-        for prefix in ("bloom_", "pending_", "host_state_", "scheduled_"):
+        for prefix in ("bloom_", "cuckoo_", "pending_", "host_state_",
+                       "scheduled_"):
             if base.startswith(prefix):
                 try:
                     n = int(base[len(prefix):])
@@ -241,7 +248,9 @@ def compaction_watermark(cat: Catalog) -> int:
 
 def _write_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int,
                     last_iteration: int = 0,
-                    robots_mode: str = "any_disallow") -> None:
+                    robots_mode: str = "any_disallow",
+                    prefilter_kind: str = "bloom",
+                    cuckoo_nb: int | None = None) -> None:
     """Persist the run's structural parameters (driver-side file, no Spark
     job): the bucket count is baked into every stored bloom bitmap and seen
     bucket column, so resuming with different values would silently produce
@@ -266,6 +275,8 @@ def _write_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int,
                    "bloom_m_bits": bloom_m_bits,
                    "bloom_format": BLOOM_FORMAT,
                    "robots_mode": robots_mode,
+                   "prefilter_kind": prefilter_kind,
+                   "cuckoo_nb": cuckoo_nb,
                    "last_iteration": last_iteration}, f)
     os.replace(tmp, final)
 
@@ -273,7 +284,9 @@ def _write_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int,
 def _check_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int,
                     resume_from: int | None = None,
                     use_bloom: bool = True,
-                    robots_mode: str = "any_disallow") -> None:
+                    robots_mode: str = "any_disallow",
+                    prefilter_kind: str = "bloom",
+                    cuckoo_nb: int | None = None) -> None:
     import json
     import os
 
@@ -300,9 +313,28 @@ def _check_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int,
         )
     from url_pattern_algorithm_spark.operators.frontier import BLOOM_FORMAT
 
+    stored_kind = meta.get("prefilter_kind", "bloom")  # pre-cuckoo metas
+    if use_bloom and stored_kind != prefilter_kind:
+        raise ValueError(
+            f"resume with prefilter_kind={prefilter_kind!r} does not match "
+            f"the checkpoint's {stored_kind!r}: the stored {stored_kind}_N "
+            "snapshots are the incremental state this resume would extend — "
+            "resume with the original kind (or use_bloom=False to continue "
+            "without a prefilter; the exact anti-join semantics are "
+            "identical either way)"
+        )
+    if (use_bloom and prefilter_kind == "cuckoo"
+            and meta.get("cuckoo_nb") is not None
+            and meta.get("cuckoo_nb") != cuckoo_nb):
+        raise ValueError(
+            f"resume with cuckoo_nb={cuckoo_nb} does not match the "
+            f"checkpoint's {meta.get('cuckoo_nb')}: stored cuckoo tables "
+            "are keyed by their bucket count — resume with the original "
+            "value or start a fresh run"
+        )
     stored_format = meta.get("bloom_format", 1)  # pre-r5 metas: raw-hash
     if stored_format != BLOOM_FORMAT:
-        if use_bloom:
+        if use_bloom and prefilter_kind == "bloom":
             raise ValueError(
                 f"checkpoint bloom bitmaps use position format "
                 f"{stored_format}, this build probes format {BLOOM_FORMAT} "
@@ -347,6 +379,21 @@ def _read_blooms(cat: Catalog, iteration: int, n_buckets: int,
     return build_bloom(read_seen(cat, iteration), n_buckets, m_bits=m_bits)
 
 
+def _read_prefilter(cat: Catalog, iteration: int, kind: str, n_buckets: int,
+                    m_bits: int, cuckoo_nb: int) -> DataFrame:
+    """Seen-prefilter state as of ``iteration`` for the run's configured
+    kind ('bloom' | 'cuckoo'): stored snapshot when present, else rebuilt
+    once from the seen table (resuming a run started with use_bloom=False,
+    or after a stale-format bloom drop)."""
+    if kind == "cuckoo":
+        name = f"cuckoo_{iteration}"
+        if cat.exists(name):
+            return cat.read(name).select("bucket", "nb", "table", "stash")
+        return build_cuckoo(read_seen(cat, iteration), n_buckets,
+                            nb=cuckoo_nb)
+    return _read_blooms(cat, iteration, n_buckets, m_bits)
+
+
 def _with_hbucket(pending: DataFrame,
                   hbuckets: int = PENDING_HBUCKETS) -> DataFrame:
     """Host-hash partition column + repartition on it: the repartition
@@ -369,6 +416,7 @@ def _new_frontier_rows(
     bloom_buckets: int = 64,
     est_robots: int | None = None,
     robots_mode: str = "any_disallow",
+    prefilter_kind: str = "bloom",
 ) -> DataFrame:
     """candidates -> normalized, robots-filtered, unseen, deduped rows.
 
@@ -385,7 +433,10 @@ def _new_frontier_rows(
     cand = cand.filter(F.col("url_canon").isNotNull())
     cand = robots_filter(cand, robots, est_rows=est_robots,
                          longest_match=robots_mode == "longest_match")
-    cand = seen_filter(cand, seen, blooms, bloom_buckets)
+    if prefilter_kind == "cuckoo":
+        cand = seen_filter_cuckoo(cand, seen, blooms, bloom_buckets)
+    else:
+        cand = seen_filter(cand, seen, blooms, bloom_buckets)
     # batch-internal dedup on the canonical hash; deterministic representative
     dedup = cand.groupBy("url_hash").agg(
         F.min("url").alias("url"),
@@ -417,8 +468,11 @@ def init_state(
     hbuckets: int = PENDING_HBUCKETS,
     delays: DataFrame | None = None,
     robots_mode: str = "any_disallow",
+    prefilter_kind: str = "bloom",
+    cuckoo_nb: int = 1 << 14,
 ) -> None:
-    """Iteration 0: seed list -> pending snapshot + seen delta + bloom_0.
+    """Iteration 0: seed list -> pending snapshot + seen delta + the
+    iteration-0 seen-prefilter snapshot (bloom_0 or cuckoo_0).
 
     ``stats`` (when given) receives ``n_hosts`` = host_state_0 row count,
     which run_crawl threads into iteration 1's politeness size gate."""
@@ -444,11 +498,17 @@ def init_state(
     def write_seen() -> None:
         _write_seen_delta(cat, pending, run_id, 0, bloom_buckets)
 
-    def write_bloom() -> None:
-        bloom0 = build_bloom(
-            pending.select("url_hash"), bloom_buckets, m_bits=bloom_m_bits
-        )
-        cat.write_checkpoint(bloom0.coalesce(4), "bloom_0", run_id, 0)
+    def write_prefilter() -> None:
+        if prefilter_kind == "cuckoo":
+            flt0 = build_cuckoo(
+                pending.select("url_hash"), bloom_buckets, nb=cuckoo_nb
+            )
+            cat.write_checkpoint(flt0.coalesce(4), "cuckoo_0", run_id, 0)
+        else:
+            flt0 = build_bloom(
+                pending.select("url_hash"), bloom_buckets, m_bits=bloom_m_bits
+            )
+            cat.write_checkpoint(flt0.coalesce(4), "bloom_0", run_id, 0)
 
     def write_host_state() -> None:
         host_state = _with_crawl_delay(
@@ -465,7 +525,7 @@ def init_state(
 
     writers = [write_seen, write_host_state]
     if use_bloom:
-        writers.append(write_bloom)
+        writers.append(write_prefilter)
     _run_writers(writers)
     cat.flush_metrics()
     pending.unpersist()
@@ -490,6 +550,8 @@ def run_iteration(
     hbuckets: int = PENDING_HBUCKETS,
     delays: DataFrame | None = None,
     robots_mode: str = "any_disallow",
+    prefilter_kind: str = "bloom",
+    cuckoo_nb: int = 1 << 14,
 ) -> int:
     """Advance one iteration from state as of ``iteration-1``; returns the
     number of scheduled URLs.
@@ -549,13 +611,15 @@ def run_iteration(
         F.explode(extract_normalize_udf(F.col("spans"))).alias("l")
     ).select("l.url", "l.url_canon", "l.host")
     blooms = (
-        _read_blooms(cat, prev, bloom_buckets, bloom_m_bits)
+        _read_prefilter(cat, prev, prefilter_kind, bloom_buckets,
+                        bloom_m_bits, cuckoo_nb)
         if use_bloom
         else None
     )
     new_rows = _new_frontier_rows(
         spark, raw_candidates, robots, seen, blooms, iteration, bloom_buckets,
         est_robots=est_robots, robots_mode=robots_mode,
+        prefilter_kind=prefilter_kind,
     )
     # the candidate pipeline (links UDF -> normalize UDF -> robots -> seen
     # filter -> dedup shuffle) feeds pending_N, the seen delta, bloom_N and
@@ -580,15 +644,22 @@ def run_iteration(
             run_id, iteration, partition_by=["hbucket"],
         )
 
-    def write_bloom() -> None:
-        # one cogroup pass builds the delta bitmaps AND ORs them into the
-        # stored state; coalesce: n_buckets rows never need 32 files
-        next_blooms = update_blooms(
-            blooms, new_rows.select("url_hash"), bloom_buckets, bloom_m_bits
-        )
-        cat.write_checkpoint(
-            next_blooms.coalesce(4), f"bloom_{iteration}", run_id, iteration,
-        )
+    def write_prefilter() -> None:
+        # one cogroup pass builds the delta AND folds it into the stored
+        # state (OR-merge for bloom, true insert for cuckoo); coalesce:
+        # n_buckets rows never need 32 files
+        if prefilter_kind == "cuckoo":
+            next_flt = update_cuckoos(
+                blooms, new_rows.select("url_hash"), bloom_buckets, cuckoo_nb
+            )
+            name = f"cuckoo_{iteration}"
+        else:
+            next_flt = update_blooms(
+                blooms, new_rows.select("url_hash"), bloom_buckets,
+                bloom_m_bits
+            )
+            name = f"bloom_{iteration}"
+        cat.write_checkpoint(next_flt.coalesce(4), name, run_id, iteration)
 
     def write_host_state() -> None:
         new_hosts = _with_crawl_delay(
@@ -613,7 +684,7 @@ def run_iteration(
 
     writers = [write_pending, write_host_state]
     if use_bloom:
-        writers.append(write_bloom)
+        writers.append(write_prefilter)
     _run_writers(writers)
     cat.flush_metrics()
     new_rows.unpersist()
@@ -640,6 +711,8 @@ def run_crawl(
     pol: Politeness = DEFAULT_POLITENESS,
     pending_hbuckets: int | None = None,
     robots_mode: str = "any_disallow",
+    prefilter_kind: str = "bloom",
+    cuckoo_nb: int | None = None,
 ) -> dict[int, int]:
     """Run (or resume) the crawl; returns {iteration: n_scheduled}.
 
@@ -670,7 +743,19 @@ def run_crawl(
     'longest_match' (Google robots spec precedence incl. wildcards —
     operators/frontier.robots_filter longest_match=True). Both modes are
     oracle-parity-tested end-to-end (tests/test_crawl_parity.py).
+
+    ``prefilter_kind`` (active when ``use_bloom=True``): 'bloom' (default —
+    OR-mergeable bitmaps, order-independent snapshot bytes) or 'cuckoo'
+    (operators/cuckoo.py: ~10x lower fp routes more steady-state candidates
+    around the anti-join shuffle, plus deletability, at ~2x the filter
+    bytes). Both are exact-safe prefilters over the same outer-bucket
+    cogroup layout — scheduled batches and the seen set are identical
+    across kinds (tests pin it). The kind is pinned in the run meta;
+    resume refuses the other kind (its incremental snapshots are the state
+    being extended). ``cuckoo_nb=None`` derives the per-bucket cuckoo size
+    from ``n_docs`` like the bloom sizes.
     """
+    from url_pattern_algorithm_spark.operators.cuckoo import derive_cuckoo_nb
     from url_pattern_algorithm_spark.scaling import (
         derive_bloom_buckets,
         derive_bloom_m_bits,
@@ -680,6 +765,8 @@ def run_crawl(
 
     if robots_mode not in ("any_disallow", "longest_match"):
         raise ValueError(f"unknown robots_mode: {robots_mode!r}")
+    if prefilter_kind not in ("bloom", "cuckoo"):
+        raise ValueError(f"unknown prefilter_kind: {prefilter_kind!r}")
     if salts is None:
         # worst-case skew assumption: one host could hold half the universe
         # (the synthetic hot host holds ~50%; salting is cheap to oversize —
@@ -691,6 +778,8 @@ def run_crawl(
         bloom_m_bits = derive_bloom_m_bits(n_docs, bloom_buckets)
     if pending_hbuckets is None:
         pending_hbuckets = derive_pending_hbuckets(n_docs)
+    if cuckoo_nb is None:
+        cuckoo_nb = derive_cuckoo_nb(n_docs, bloom_buckets)
     cat = Catalog(spark, ckpt_root)
     # accept raw robots.txt bodies directly: a (host, robots_txt) frame is
     # parsed into the structured rule table (sources/robots) — same rows a
@@ -714,6 +803,7 @@ def run_crawl(
             spark, docs, seeds, robots, cat, n_docs, iterations, run_id,
             resume_from, salts, use_bloom, bloom_buckets, bloom_m_bits,
             compact_every, prune_history, pol, pending_hbuckets, robots_mode,
+            prefilter_kind, cuckoo_nb,
         )
     finally:
         if parsed_robots is not None:
@@ -739,6 +829,8 @@ def _run_crawl_inner(
     pol: Politeness,
     pending_hbuckets: int,
     robots_mode: str = "any_disallow",
+    prefilter_kind: str = "bloom",
+    cuckoo_nb: int = 1 << 14,
 ) -> dict[int, int]:
     if "doc_index" not in docs.columns:
         docs = docs.withColumn(
@@ -770,21 +862,24 @@ def _run_crawl_inner(
             # (likewise stale writer markers / rewrite locks)
             base = _base_table_name(name)
             if (base in ("seen", "_compaction", "_metrics")
-                    or base.startswith(("bloom_", "pending_",
+                    or base.startswith(("bloom_", "cuckoo_", "pending_",
                                         "host_state_", "scheduled_"))):
                 cat.drop(name)
         _write_run_meta(cat, bloom_buckets, bloom_m_bits,
-                        robots_mode=robots_mode)
+                        robots_mode=robots_mode,
+                        prefilter_kind=prefilter_kind, cuckoo_nb=cuckoo_nb)
         init_stats: dict = {}
         init_state(spark, seeds, robots, cat, run_id, pol,
                    use_bloom=use_bloom, bloom_buckets=bloom_buckets,
                    bloom_m_bits=bloom_m_bits, est_robots=est_robots,
                    stats=init_stats, hbuckets=pending_hbuckets,
-                   delays=delays, robots_mode=robots_mode)
+                   delays=delays, robots_mode=robots_mode,
+                   prefilter_kind=prefilter_kind, cuckoo_nb=cuckoo_nb)
         est_hosts = init_stats.get("n_hosts")
     else:
         _check_run_meta(cat, bloom_buckets, bloom_m_bits, resume_from,
-                        use_bloom=use_bloom, robots_mode=robots_mode)
+                        use_bloom=use_bloom, robots_mode=robots_mode,
+                        prefilter_kind=prefilter_kind, cuckoo_nb=cuckoo_nb)
         wm = compaction_watermark(cat)
         if resume_from < wm:
             raise ValueError(
@@ -800,10 +895,12 @@ def _run_crawl_inner(
             bloom_buckets=bloom_buckets, bloom_m_bits=bloom_m_bits, pol=pol,
             est_hosts=est_hosts, est_robots=est_robots, stats=it_stats,
             hbuckets=pending_hbuckets, delays=delays, robots_mode=robots_mode,
+            prefilter_kind=prefilter_kind, cuckoo_nb=cuckoo_nb,
         )
         est_hosts = it_stats.get("n_hosts")
         _write_run_meta(cat, bloom_buckets, bloom_m_bits, it,
-                        robots_mode=robots_mode)
+                        robots_mode=robots_mode,
+                        prefilter_kind=prefilter_kind, cuckoo_nb=cuckoo_nb)
         if compact_every and it % compact_every == 0:
             compact_seen(cat, it, bloom_buckets)
             if prune_history:
