@@ -246,6 +246,243 @@ def compaction_watermark(cat: Catalog) -> int:
     return int(row["m"]) if row["m"] is not None else -1
 
 
+def _read_crawl_meta(cat: Catalog) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(cat.root, "_run_meta.json")) as f:
+        return json.load(f)
+
+
+def unsee_urls(spark: SparkSession, ckpt_root: str, urls: DataFrame,
+               run_id: str = "unsee") -> int:
+    """Purge URLs from the crawl's seen state so future organic discovery
+    re-admits them (takedown / right-to-be-forgotten) — the Iceberg DELETE
+    analogue over the seen table, plus the matching prefilter snapshot
+    update. Run between iterations; returns rows purged. For an explicit
+    refetch (recrawl scheduling) use :func:`reenqueue_urls` instead — it
+    puts the URL back on the frontier directly.
+
+    ``urls``: DataFrame with a ``url_hash`` column, or a ``url`` column
+    (projected through the same normalize kernel the loop uses, so the
+    hash always matches what the loop stored).
+
+    Hashes still in the latest pending snapshot are SKIPPED: a pending URL
+    is already awaiting its first fetch, and removing its seen row would
+    break the loop's ``pending ⊆ seen`` invariant (a re-discovered
+    candidate would be admitted again and duplicate the frontier).
+
+    The seen rows are removed under the table's rewrite lock (copy-on-
+    write via Catalog.rewrite — a real Iceberg deployment swaps this for
+    positional deletes; the lock also refuses to race an in-flight
+    iteration's writers, same as compact_seen). Seen is purged FIRST,
+    then the prefilter snapshot at the run's last iteration is brought in
+    line — that order is crash-safe: a stale-POSITIVE prefilter is exact
+    (maybe-seen candidates route through the anti-join, whose rows are
+    gone), whereas updating the filter before the rows are gone would
+    open a false-negative window. For the same reason resumes from
+    earlier snapshots, whose filters still contain the purged keys, stay
+    exact.
+
+    Prefilter update, by kind (run meta):
+
+    - cuckoo: O(|purged|) incremental ``delete_from_cuckoos`` — the
+      capability the cuckoo kind was added for. Only hashes actually
+      present in seen are deleted (semi-join guard): deleting a
+      never-inserted key could evict a colliding fingerprint and turn a
+      prefilter false-positive into a FALSE NEGATIVE for a still-seen
+      URL (the Fan et al. delete caveat).
+    - bloom: bits cannot be cleared, so the stale snapshot is DROPPED and
+      the next iteration rebuilds it from the post-purge seen table
+      (full-scan rebuild — the cost asymmetry that motivates cuckoo for
+      delete-heavy deployments).
+    """
+    from url_pattern_algorithm_spark.operators.cuckoo import (
+        delete_from_cuckoos,
+    )
+
+    cat = Catalog(spark, ckpt_root)
+    meta = _read_crawl_meta(cat)
+    n_buckets = int(meta["bloom_buckets"])
+    last = int(meta.get("last_iteration", 0))
+    kind = meta.get("prefilter_kind", "bloom")
+    if "url_hash" not in urls.columns:
+        urls = with_url_columns(urls)
+    hashes = urls.select("url_hash").distinct()
+    with cat.rewrite_lock("seen"):
+        # hashes actually stored and NOT awaiting first fetch (bounded by
+        # the purge request, not the corpus): the delete guard AND the
+        # purge row count in one frame
+        present = (
+            cat.read("seen").join(hashes, "url_hash", "semi")
+            .join(cat.read(f"pending_{last}").select("url_hash"),
+                  "url_hash", "left_anti")
+            .select("url_hash").distinct().persist()
+        )
+        try:
+            n = present.count()
+            if n:
+                cat.rewrite_locked(
+                    "seen",
+                    lambda df: df.join(present, "url_hash", "left_anti")
+                                 .repartition(n_buckets, "bucket"),
+                    partition_by=["epoch", "bucket"],
+                )
+                snap = f"{kind}_{last}"
+                if kind == "cuckoo" and cat.exists(snap):
+                    # rename-aside rewrite, not an in-place overwrite: a
+                    # crash mid-write must leave a readable snapshot
+                    cat.rewrite(
+                        snap,
+                        lambda df: delete_from_cuckoos(
+                            df.select("bucket", "nb", "table", "stash"),
+                            present, n_buckets,
+                        ).withColumn("run_id", F.lit(run_id))
+                         .withColumn("iteration", F.lit(last))
+                         .withColumn("partition_id", F.spark_partition_id())
+                         .coalesce(4),
+                    )
+                elif kind == "bloom" and cat.exists(snap):
+                    cat.drop(snap)
+        finally:
+            present.unpersist()
+    return n
+
+
+def reenqueue_urls(spark: SparkSession, ckpt_root: str, urls: DataFrame,
+                   priority: float = 2.0, run_id: str = "recrawl") -> int:
+    """Schedule URLs for an explicit refetch (recrawl scheduling): append
+    them to the latest pending snapshot so the next iteration's priority
+    top-k considers them. Run between iterations; returns rows enqueued.
+
+    ``priority`` defaults above every organic discovery priority
+    (1/(iter+1) <= 1.0), so recrawls jump the per-host queue — still
+    subject to the same politeness budgets as everything else. Hashes
+    already pending are skipped (a duplicate pending row could be
+    scheduled twice in one batch).
+
+    URLs missing from seen — e.g. just purged by :func:`unsee_urls` — have
+    their seen rows and prefilter fingerprints RESTORED first:
+    ``pending ⊆ seen`` is the loop invariant that stops re-discovered
+    candidates from duplicating the frontier. Restore order is prefilter
+    THEN seen (a crash in between leaves a stale-positive filter, which is
+    exact; the reverse order would leave a seen row the filter routes
+    AROUND the anti-join — a false negative). The cuckoo restore is an
+    O(|restored|) incremental insert; keys are guaranteed absent (they
+    were deleted when unseen), so the insert-once contract holds.
+
+    ``urls`` accepts the same shapes as :func:`unsee_urls`.
+    """
+    from url_pattern_algorithm_spark.operators.cuckoo import update_cuckoos
+
+    cat = Catalog(spark, ckpt_root)
+    meta = _read_crawl_meta(cat)
+    n_buckets = int(meta["bloom_buckets"])
+    m_bits = int(meta["bloom_m_bits"])
+    last = int(meta.get("last_iteration", 0))
+    kind = meta.get("prefilter_kind", "bloom")
+    nb = meta.get("cuckoo_nb")
+    if "url_hash" not in urls.columns:
+        urls = with_url_columns(urls)
+    if "url_canon" not in urls.columns:
+        raise ValueError(
+            "reenqueue_urls needs a 'url' column or both "
+            "('url_hash', 'url_canon'): pending rows carry the canonical "
+            "URL and host, which a bare hash cannot reconstruct"
+        )
+    parse_host = getattr(F, "try_parse_url", F.parse_url)
+    req = (
+        urls.select("url_hash", "url_canon").distinct()
+        .withColumn("host", F.lower(parse_host(F.col("url_canon"),
+                                               F.lit("HOST"))))
+    )
+    pname = f"pending_{last}"
+    # no table-wide lock here: each append registers a writer marker, which
+    # already excludes a concurrent compaction (and the filter rewrite takes
+    # its own snapshot lock). Like compact_seen, this is a between-iterations
+    # maintenance op with a single actor — two concurrent reenqueues of the
+    # same URL could both pass the pending anti-join and double-pend it.
+    todo = req.join(
+        cat.read(pname).select("url_hash"), "url_hash", "left_anti"
+    ).persist()
+    try:
+        n = todo.count()
+        if not n:
+            return 0
+        restore = todo.join(
+            cat.read("seen").select("url_hash"), "url_hash", "left_anti"
+        ).persist()
+        try:
+            if restore.count():
+                snap = f"{kind}_{last}"
+                if cat.exists(snap):
+                    delta = restore.select("url_hash")
+                    if kind == "cuckoo":
+                        upd = lambda df: update_cuckoos(  # noqa: E731
+                            df.select("bucket", "nb", "table", "stash"),
+                            delta, n_buckets, nb=int(nb),
+                        )
+                    else:
+                        upd = lambda df: update_blooms(  # noqa: E731
+                            df.select("bucket", "m_bits", "bitmap"),
+                            delta, n_buckets, m_bits,
+                        )
+                    cat.rewrite(snap, lambda df: (
+                        upd(df)
+                        .withColumn("run_id", F.lit(run_id))
+                        .withColumn("iteration", F.lit(last))
+                        .withColumn("partition_id",
+                                    F.spark_partition_id())
+                        .coalesce(4)
+                    ))
+                seen_cols = cat.read("seen").columns
+                seen_delta = (
+                    restore.select(
+                        "url_hash", "url_canon",
+                        F.lit(last).alias("first_iter"),
+                        F.pmod(F.col("url_hash"), F.lit(n_buckets))
+                         .cast("int").alias("bucket"),
+                        F.lit(last).alias("epoch"),
+                        F.lit(run_id).alias("run_id"),
+                        F.lit(last).alias("iteration"),
+                        F.spark_partition_id().alias("partition_id"),
+                    ).select(*seen_cols)
+                )
+                # append, NOT the loop's dynamic epoch overwrite — the
+                # epoch=last partition already holds that iteration's
+                # organic delta and must survive
+                cat.append(seen_delta, "seen",
+                           partition_by=["epoch", "bucket"])
+        finally:
+            restore.unpersist()
+        pend_cols = cat.read(pname).columns
+        rows = _with_hbucket(
+            todo.select(
+                F.col("url_canon").alias("url"), "url_canon",
+                "url_hash", "host",
+                F.lit(float(priority)).alias("priority"),
+                F.lit(last).alias("discovered_iter"),
+            ),
+            # hbucket is file-layout only (reads select PENDING_COLS by
+            # name), so the default bucket count is safe even when the
+            # run derived a different pending_hbuckets
+            hbuckets=PENDING_HBUCKETS,
+        ).select(*[
+            c if c not in ("run_id", "iteration", "partition_id")
+            else {
+                "run_id": F.lit(run_id).alias("run_id"),
+                "iteration": F.lit(last).alias("iteration"),
+                "partition_id":
+                    F.spark_partition_id().alias("partition_id"),
+            }[c]
+            for c in pend_cols
+        ])
+        cat.append(rows, pname, partition_by=["hbucket"])
+    finally:
+        todo.unpersist()
+    return n
+
+
 def _write_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int,
                     last_iteration: int = 0,
                     robots_mode: str = "any_disallow",
