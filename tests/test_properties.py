@@ -8,7 +8,7 @@ normalize(u)) — otherwise re-discovered URLs re-enter the frontier under a
 drifting key.
 """
 
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from url_pattern_algorithm_spark.kernel.canonical import canonical_url
@@ -41,6 +41,15 @@ _query = st.lists(
     max_size=3,
 ).map(lambda kv: "&".join(f"{k}={v}" for k, v in kv))
 
+def _in_comparator_regime(u: str) -> bool:
+    """The bounded generator caps SEGMENTS, but colon-heavy hosts (e.g.
+    '0:0:0:0') tokenize their port-ish parts into extra path-ish tokens,
+    so the TOKEN count can exceed the cap. The lexicographic comparator
+    regime is <= 10 tokens (path0..path9 sort lexically == numerically;
+    path10 < path2 breaks the fixpoint, reference-faithful)."""
+    return len(tokenize_light(u)) <= 10
+
+
 urlish_bounded = st.one_of(
     st.builds(lambda h, p, q: f"http://{h}/{p}?{q}", _hosttext, _path, _query),
     st.builds(lambda h, p: f"HTTP://{h}:80/{p}", _hosttext, _path),
@@ -72,6 +81,7 @@ def test_normalize_chain_total(u):
 @settings(max_examples=300, deadline=None)
 @given(urlish_bounded)
 def test_normalize_chain_idempotent_on_bounded_urls(u):
+    assume(_in_comparator_regime(u))
     c = _chain(u)
     if c is None:
         return
@@ -98,5 +108,6 @@ def test_canonical_serialization_stable_under_retokenize(u):
     # canonical_url is a function of the light-tokenizer pairs only;
     # serializing and re-canonicalizing must not change the result (within
     # the bounded-depth regime — see the comparator note above)
+    assume(_in_comparator_regime(u))
     c = canonical_url(u)
     assert canonical_url(c) == c, (u, c)
