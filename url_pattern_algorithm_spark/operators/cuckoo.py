@@ -43,19 +43,40 @@ SLOTS = 4          # slots per cuckoo bucket (2x4 is the paper's sweet spot)
 FP_BITS = 16       # fingerprint width; 0 is the empty-slot sentinel
 MAX_KICKS = 500    # eviction walk bound before a key goes to the stash
 LOAD_TARGET = 0.84  # achievable table load for 2-choice 4-slot cuckoo
+# Above this fill fraction further eviction walks are near-certain to fail
+# (and the ones that "succeed" burn hundreds of python kicks finding the
+# last holes) — remaining inserts go straight to the exact stash instead.
+OVERLOAD_FILL = 0.98
+# Amortized kick budget per inserted key for one _insert_all batch: the
+# paper's expected walk length at design load is O(1), so 8x the batch
+# size only binds when the table is mis-sized — then it bounds the total
+# python-loop work instead of letting every key walk MAX_KICKS.
+BATCH_KICK_FACTOR = 8
 
 CUCKOO_SCHEMA = "bucket int, nb long, table binary, stash binary"
+
+# Capacity floor mirroring scaling.derive_bloom_m_bits' 2^17-bit floor
+# (13.1k keys/bucket at the 10-bits/key design point): a crawl's seen set
+# is URLs, which outgrow the n_docs the caller sizes from by the link-
+# expansion factor. The bloom absorbs that as graceful fp-rate loss; a
+# cuckoo table past ~0.95 load degrades to stash, so it needs the same
+# headroom up front. nb=4096 -> 4096*4*0.84 = 13.7k keys at design load,
+# 32 KB table (the documented ~2x of the bloom's 16 KB floor).
+MIN_NB = 4096
+MAX_NB = 1 << 22   # 32 MB table cap — one cogroup task's comfortable size
 
 
 def derive_cuckoo_nb(n_keys: int, n_buckets: int) -> int:
     """Cuckoo buckets per filter for ``n_keys`` total over ``n_buckets``
-    outer buckets: next power of two >= keys_per_bucket / (SLOTS * load).
+    outer buckets: next power of two >= keys_per_bucket / (SLOTS * load),
+    clamped to [MIN_NB, MAX_NB].
 
     Power-of-two so the XOR alternate-bucket map is closed under the index
     mask (the paper's construction requires it)."""
     per_bucket = max(1, (n_keys + n_buckets - 1) // n_buckets)
     need = per_bucket / (SLOTS * LOAD_TARGET)
-    return 1 << max(1, int(np.ceil(np.log2(need))))
+    nb = 1 << max(1, int(np.ceil(np.log2(need))))
+    return max(MIN_NB, min(MAX_NB, nb))
 
 
 def _fingerprints(hashes: "np.ndarray", nb: int):
@@ -125,14 +146,22 @@ def _insert_all(table: "np.ndarray", occ: "np.ndarray", stash: list,
     else:
         rem_idx = np.zeros(0, dtype=np.int64)
     mask = np.uint64(nb - 1)
-    # Bail-out guard for a mis-sized (overloaded) filter: once several
-    # consecutive eviction walks hit MAX_KICKS, the table is effectively
-    # full and every further walk will too — stash the remainder directly
-    # instead of burning MAX_KICKS python steps per key. Correctness is
-    # unchanged (the stash is exact); only space degrades.
+    # Overload guards for a mis-sized filter — the table must degrade in
+    # SPACE (exact stash), never in TIME. Three triggers, checked cheapest
+    # first; all stash the remainder directly, correctness unchanged:
+    # 1. fill gate: past OVERLOAD_FILL the remaining holes are so sparse
+    #    that walks either fail at MAX_KICKS or "succeed" after hundreds
+    #    of python steps hunting the last empties;
+    # 2. batch kick budget: total python kick steps bounded at
+    #    BATCH_KICK_FACTOR x batch size, so even a pathological
+    #    just-under-the-gate table costs O(batch), not O(batch x 500);
+    # 3. fail streak: several consecutive MAX_KICKS walks mean full.
+    fill_gate = int(nb * SLOTS * OVERLOAD_FILL)
+    filled = int(occ.sum())
+    kick_budget = BATCH_KICK_FACTOR * max(len(rem_idx), 1)
     fail_streak = 0
     for pos, j in enumerate(rem_idx):
-        if fail_streak >= 32:
+        if fail_streak >= 32 or filled >= fill_gate or kick_budget <= 0:
             rest = rem_idx[pos:]
             stash.extend(int(x) for x in _canonical(fp[rest], i1[rest], nb))
             break
@@ -144,7 +173,9 @@ def _insert_all(table: "np.ndarray", occ: "np.ndarray", stash: list,
             if len(empty):
                 row[empty[0]] = cur_fp
                 occ[cur_b] = min(occ[cur_b] + 1, SLOTS)
+                filled += 1
                 fail_streak = 0
+                kick_budget -= kick
                 break
             victim = np.uint64(row[kick % SLOTS])
             row[kick % SLOTS] = cur_fp
@@ -153,6 +184,7 @@ def _insert_all(table: "np.ndarray", occ: "np.ndarray", stash: list,
                 np.array([cur_fp], dtype=np.uint64))[0]) & mask)
         else:
             fail_streak += 1
+            kick_budget -= MAX_KICKS
             stash.append(int(_canonical(
                 np.array([cur_fp], dtype=np.uint64),
                 np.array([cur_b], dtype=np.uint64), nb)[0]))
