@@ -528,3 +528,43 @@ def test_cuckoo_resume_and_kind_pinned(crawl_run, tmp_path):
                         use_bloom=False, run_id="nofilter")
     assert _spark_scheduled(spark, root, ITERS) == before
     assert counts3[ITERS] == counts[ITERS]
+
+
+def test_prefilter_rescale_at_compaction(crawl_run, tmp_path):
+    # compaction-time rescale (_maybe_grow_prefilter): a deliberately tiny
+    # initial prefilter must grow to the derived-from-seen floor at the
+    # first compaction, the run meta re-pins the grown size, schedules
+    # stay byte-identical (the prefilter is exact-safe at ANY size), and
+    # a size-agnostic resume (None params) adopts the grown size instead
+    # of refusing on a rederived-from-n_docs mismatch.
+    import json
+    import os
+
+    spark, ckpt, counts, oracle, docs, seeds, robots = crawl_run
+    for kind, param, key in (
+        ("bloom", {"bloom_m_bits": 1 << 14}, "bloom_m_bits"),
+        ("cuckoo", {"cuckoo_nb": 64}, "cuckoo_nb"),
+    ):
+        root = str(tmp_path / f"grow_{kind}")
+        counts2 = run_crawl(spark, docs, seeds, robots, root, N_DOCS,
+                            iterations=ITERS, compact_every=2,
+                            prefilter_kind=kind, **param)
+        assert counts2 == counts, kind
+        for it in range(1, ITERS + 1):
+            assert _spark_scheduled(spark, root, it) == _spark_scheduled(
+                spark, ckpt, it
+            ), (kind, it)
+        meta = json.load(open(os.path.join(root, "_run_meta.json")))
+        assert meta[key] > list(param.values())[0], kind
+        cat = Catalog(spark, root)
+        if kind == "cuckoo":
+            sizes = {r["nb"] for r in cat.read("cuckoo_2").select("nb").collect()}
+        else:
+            sizes = {r["m_bits"]
+                     for r in cat.read("bloom_2").select("m_bits").collect()}
+        assert sizes == {meta[key]}, kind
+        before = _spark_scheduled(spark, root, ITERS)
+        run_crawl(spark, docs, seeds, robots, root, N_DOCS,
+                  iterations=ITERS, resume_from=ITERS - 1,
+                  prefilter_kind=kind, run_id="grown")
+        assert _spark_scheduled(spark, root, ITERS) == before, kind

@@ -483,6 +483,58 @@ def reenqueue_urls(spark: SparkSession, ckpt_root: str, urls: DataFrame,
     return n
 
 
+def _seen_count_from_metrics(cat: Catalog) -> int | None:
+    """Total seen-set size from the lineage metrics table (one tiny file
+    read, no data scan): seen deltas are exact-once inserts, so the sum of
+    per-iteration 'seen' row counts IS the table size. unsee_urls removals
+    and reenqueue restores bypass metrics, so the figure can overestimate
+    slightly after purges — conservative in the direction growth sizing
+    wants."""
+    if not cat.exists("_metrics"):
+        return None
+    row = (cat.read("_metrics").filter(F.col("table") == "seen")
+           .agg(F.sum("rows").alias("n")).collect()[0]["n"])
+    return int(row) if row is not None else None
+
+
+def _maybe_grow_prefilter(cat: Catalog, it: int, n_buckets: int,
+                          m_bits: int, nb: int, kind: str,
+                          run_id: str) -> tuple[int, int]:
+    """Compaction-time prefilter rescale: re-derive the per-bucket filter
+    size from the ACTUAL seen count and rebuild the snapshot if it grew.
+
+    Initial sizing derives from ``n_docs``, but the seen set is URLs and
+    grows without bound in a long crawl — a filter pinned at start-time
+    size eventually saturates: the bloom's fp rate decays toward 1 (the
+    prefilter routes everything into the anti-join — correct, useless)
+    and the cuckoo degrades to stash (exact, bytes grow linearly,
+    operators/cuckoo.py overload guards). Riding the compaction schedule
+    gives the rebuild the same amortization and the same watermark
+    semantics: resumes before this point are already refused, and the run
+    meta re-pins the grown size so later resumes adopt it
+    (run_crawl ``None`` params read the meta).
+
+    Growth only — shrink would invalidate the incremental OR/insert chain
+    for nothing. Returns the (possibly grown) (m_bits, nb)."""
+    from url_pattern_algorithm_spark.operators.cuckoo import derive_cuckoo_nb
+    from url_pattern_algorithm_spark.scaling import derive_bloom_m_bits
+
+    n_seen = _seen_count_from_metrics(cat)
+    if n_seen is None:
+        return m_bits, nb
+    new_m = max(m_bits, derive_bloom_m_bits(n_seen, n_buckets))
+    new_nb = max(nb, derive_cuckoo_nb(n_seen, n_buckets))
+    if kind == "cuckoo" and new_nb > nb:
+        flt = build_cuckoo(read_seen(cat, it), n_buckets, nb=new_nb)
+        cat.write_checkpoint(flt.coalesce(4), f"cuckoo_{it}", run_id, it)
+        return m_bits, new_nb
+    if kind == "bloom" and new_m > m_bits:
+        flt = build_bloom(read_seen(cat, it), n_buckets, m_bits=new_m)
+        cat.write_checkpoint(flt.coalesce(4), f"bloom_{it}", run_id, it)
+        return new_m, nb
+    return m_bits, nb
+
+
 def _write_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int,
                     last_iteration: int = 0,
                     robots_mode: str = "any_disallow",
@@ -966,7 +1018,13 @@ def run_crawl(
     ``bloom_buckets=None`` / ``bloom_m_bits=None`` derive both from the
     ``n_docs`` universe estimate (scaling.derive_bloom_*): at the 10^10-URL
     north_rule scale that lands on 4096 buckets x 2^25-bit bitmaps; the
-    sandbox sizes clamp down to the tested constants. ``pending_hbuckets``
+    sandbox sizes clamp down to the tested constants. The per-bucket
+    filter SIZE additionally rescales at each compaction point from the
+    actual seen count (_maybe_grow_prefilter: rebuild + meta re-pin riding
+    the compaction watermark) — the seen set is URLs and outgrows any
+    start-time estimate in a long crawl; on resume, ``None`` size params
+    adopt the checkpoint's stored (possibly grown) values. The BUCKET
+    count never changes (it is baked into the seen table layout). ``pending_hbuckets``
     (the pending snapshots' host-hash partition count) likewise derives from
     ``n_docs`` by default — 8192 dirs at 10^10, the 16 sandbox constant
     below ~10^7. ``salts=None`` derives the top-k salt factor the same way
@@ -1009,15 +1067,28 @@ def run_crawl(
         # (the synthetic hot host holds ~50%; salting is cheap to oversize —
         # schedule results are salt-count-invariant, only partitioning moves)
         salts = derive_salts(n_docs // 2)
+    cat = Catalog(spark, ckpt_root)
+    # a resume adopts the checkpoint's stored prefilter sizes for any the
+    # caller left None: compaction-time rescaling (_maybe_grow_prefilter)
+    # may have grown them past the n_docs derivation, and re-deriving here
+    # would then refuse a perfectly valid resume
+    stored_meta: dict = {}
+    if resume_from is not None:
+        import os
+
+        if os.path.exists(os.path.join(cat.root, "_run_meta.json")):
+            stored_meta = _read_crawl_meta(cat)
     if bloom_buckets is None:
-        bloom_buckets = derive_bloom_buckets(n_docs)
+        bloom_buckets = stored_meta.get("bloom_buckets") or \
+            derive_bloom_buckets(n_docs)
     if bloom_m_bits is None:
-        bloom_m_bits = derive_bloom_m_bits(n_docs, bloom_buckets)
+        bloom_m_bits = stored_meta.get("bloom_m_bits") or \
+            derive_bloom_m_bits(n_docs, bloom_buckets)
     if pending_hbuckets is None:
         pending_hbuckets = derive_pending_hbuckets(n_docs)
     if cuckoo_nb is None:
-        cuckoo_nb = derive_cuckoo_nb(n_docs, bloom_buckets)
-    cat = Catalog(spark, ckpt_root)
+        cuckoo_nb = stored_meta.get("cuckoo_nb") or \
+            derive_cuckoo_nb(n_docs, bloom_buckets)
     # accept raw robots.txt bodies directly: a (host, robots_txt) frame is
     # parsed into the structured rule table (sources/robots) — same rows a
     # caller would get by pre-parsing, so parity/oracles are unaffected
@@ -1142,4 +1213,17 @@ def _run_crawl_inner(
             compact_seen(cat, it, bloom_buckets)
             if prune_history:
                 prune_checkpoint_history(cat, it)
+            if use_bloom:
+                grown_m, grown_nb = _maybe_grow_prefilter(
+                    cat, it, bloom_buckets, bloom_m_bits, cuckoo_nb,
+                    prefilter_kind, run_id,
+                )
+                if (grown_m, grown_nb) != (bloom_m_bits, cuckoo_nb):
+                    bloom_m_bits, cuckoo_nb = grown_m, grown_nb
+                    # re-pin immediately: later resumes (and the stale-
+                    # format check) must see the grown sizes
+                    _write_run_meta(cat, bloom_buckets, bloom_m_bits, it,
+                                    robots_mode=robots_mode,
+                                    prefilter_kind=prefilter_kind,
+                                    cuckoo_nb=cuckoo_nb)
     return counts
