@@ -37,6 +37,15 @@ def main() -> None:
                          "(scaling.derive_bloom_buckets; 4096 at 10^10)")
     ap.add_argument("--compact-every", type=int, default=4,
                     help="collapse seen epochs every K iterations (0=off)")
+    ap.add_argument("--prefilter-kind", choices=("bloom", "cuckoo"),
+                    default="bloom",
+                    help="seen-prefilter implementation (operators/cuckoo "
+                         "adds DELETE + ~10x lower fp at ~2x bytes)")
+    ap.add_argument("--robots-mode", choices=("any_disallow",
+                                              "longest_match"),
+                    default="any_disallow",
+                    help="robots precedence: reference-parity any-disallow "
+                         "or Google-spec longest-match")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -69,6 +78,7 @@ def main() -> None:
         resume_from=args.resume, use_bloom=not args.no_bloom, pol=pol,
         bloom_buckets=args.bloom_buckets, bloom_m_bits=args.bloom_m_bits,
         compact_every=args.compact_every,
+        prefilter_kind=args.prefilter_kind, robots_mode=args.robots_mode,
     )
     dt = time.time() - t0
     total = sum(counts.values())
