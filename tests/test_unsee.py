@@ -248,3 +248,41 @@ def test_reenqueue_seen_urls_rescheduled(spark, tmp_path):
     # a bare-hash request cannot build pending rows and must refuse
     with pytest.raises(ValueError, match="url_canon"):
         reenqueue_urls(spark, root, vdf.select("url_hash"))
+
+
+def test_unsee_on_compacted_history(spark, tmp_path):
+    # the realistic long-crawl state: seen history collapsed into the
+    # epoch=-1 partition by compaction. Purging must remove rows from the
+    # compacted partition exactly like from delta epochs, and the rescaled
+    # (possibly grown) prefilter snapshot must stay consistent.
+    docs = docs_df(spark, 200, 4, partitions=4)
+    seeds = seeds_df(spark, 4)
+    robots = robots_df(spark, 4)
+    root = str(tmp_path / "compacted_purge")
+    run_crawl(spark, docs, seeds, robots, root, 200, iterations=3,
+              prefilter_kind="cuckoo", compact_every=2)
+    cat = Catalog(spark, root)
+    compacted = {
+        r["url_hash"]
+        for r in cat.read("seen").filter(F.col("epoch") == -1)
+        .select("url_hash").collect()
+    }
+    assert compacted  # compaction actually collapsed epochs 0..2
+    pend = {
+        r["url_hash"]
+        for r in cat.read("pending_3").select("url_hash").collect()
+    }
+    victims = sorted(compacted - pend)[:5]
+    assert victims
+    vdf = spark.createDataFrame([(h,) for h in victims], "url_hash long")
+    assert unsee_urls(spark, root, vdf) == len(victims)
+    left = _seen_hashes(spark, root, 3)
+    assert not (set(victims) & left)
+    # prefilter still consistent: no false negative for surviving rows
+    filters = cat.read("cuckoo_3").select("bucket", "nb", "table", "stash")
+    cand = spark.createDataFrame([(h,) for h in sorted(left)][:200],
+                                 "url_hash long")
+    from url_pattern_algorithm_spark.plans.crawl import read_seen as _rs
+    admitted = seen_filter_cuckoo(cand, _rs(cat, 3), filters,
+                                  _meta(root)["bloom_buckets"]).count()
+    assert admitted == 0
