@@ -568,3 +568,39 @@ def test_prefilter_rescale_at_compaction(crawl_run, tmp_path):
                   iterations=ITERS, resume_from=ITERS - 1,
                   prefilter_kind=kind, run_id="grown")
         assert _spark_scheduled(spark, root, ITERS) == before, kind
+
+
+def test_prefilter_rescale_crash_window_self_heals(crawl_run, tmp_path):
+    # the one crash window rescaling leaves: snapshot rebuilt at the grown
+    # size but the meta re-pin never landed (or vice versa). Simulated by
+    # reverting the meta sizes after a grown run; a size-agnostic resume
+    # then adopts the (stale) meta size, detects the snapshot mismatch,
+    # drops it, and rebuilds from seen at the adopted size — scheduled
+    # output identical either way (the prefilter is exact at any size).
+    import json
+    import os
+
+    spark, ckpt, counts, oracle, docs, seeds, robots = crawl_run
+    root = str(tmp_path / "heal")
+    run_crawl(spark, docs, seeds, robots, root, N_DOCS, iterations=ITERS,
+              compact_every=2, prefilter_kind="cuckoo", cuckoo_nb=64)
+    meta_path = os.path.join(root, "_run_meta.json")
+    meta = json.load(open(meta_path))
+    assert meta["cuckoo_nb"] > 64  # growth happened
+    meta["cuckoo_nb"] = 64  # simulate crash-before-meta-repin
+    json.dump(meta, open(meta_path, "w"))
+    before = _spark_scheduled(spark, root, ITERS)
+    counts2 = run_crawl(spark, docs, seeds, robots, root, N_DOCS,
+                        iterations=ITERS, resume_from=ITERS - 1,
+                        prefilter_kind="cuckoo", run_id="healed")
+    assert _spark_scheduled(spark, root, ITERS) == before
+    assert counts2[ITERS] == counts[ITERS]
+    cat = Catalog(spark, root)
+    sizes = {r["nb"]
+             for r in cat.read(f"cuckoo_{ITERS}").select("nb").collect()}
+    assert sizes == {64}  # rebuilt at the adopted (meta) size
+    # and the re-grown path still works afterwards: rerun WITH compaction
+    counts3 = run_crawl(spark, docs, seeds, robots, root, N_DOCS,
+                        iterations=ITERS, resume_from=ITERS - 1,
+                        prefilter_kind="cuckoo", run_id="regrow")
+    assert counts3[ITERS] == counts[ITERS]

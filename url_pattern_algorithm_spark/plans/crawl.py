@@ -524,15 +524,50 @@ def _maybe_grow_prefilter(cat: Catalog, it: int, n_buckets: int,
         return m_bits, nb
     new_m = max(m_bits, derive_bloom_m_bits(n_seen, n_buckets))
     new_nb = max(nb, derive_cuckoo_nb(n_seen, n_buckets))
+
+    def _stamp(df: DataFrame) -> DataFrame:
+        return (df.withColumn("run_id", F.lit(run_id))
+                .withColumn("iteration", F.lit(it))
+                .withColumn("partition_id", F.spark_partition_id())
+                .coalesce(4))
+
+    # rename-aside rewrite, NOT an in-place overwrite: meta already
+    # records iteration ``it`` as completed, so a crash mid-write must
+    # leave a READABLE snapshot (old or new, both exact) — a resume then
+    # self-heals any size mismatch against the meta
+    # (_heal_prefilter_size_mismatch)
     if kind == "cuckoo" and new_nb > nb:
-        flt = build_cuckoo(read_seen(cat, it), n_buckets, nb=new_nb)
-        cat.write_checkpoint(flt.coalesce(4), f"cuckoo_{it}", run_id, it)
+        cat.rewrite(f"cuckoo_{it}", lambda _old: _stamp(
+            build_cuckoo(read_seen(cat, it), n_buckets, nb=new_nb)
+        ))
         return m_bits, new_nb
     if kind == "bloom" and new_m > m_bits:
-        flt = build_bloom(read_seen(cat, it), n_buckets, m_bits=new_m)
-        cat.write_checkpoint(flt.coalesce(4), f"bloom_{it}", run_id, it)
+        cat.rewrite(f"bloom_{it}", lambda _old: _stamp(
+            build_bloom(read_seen(cat, it), n_buckets, m_bits=new_m)
+        ))
         return new_m, nb
     return m_bits, nb
+
+
+def _heal_prefilter_size_mismatch(cat: Catalog, iteration: int, kind: str,
+                                  m_bits: int, nb: int) -> None:
+    """Resume-time self-heal for the one crash window compaction-time
+    rescaling leaves: a crash between the snapshot rebuild and the meta
+    re-pin (either order) makes the stored snapshot's per-bucket size
+    disagree with the size the resume adopted from the meta. The probe
+    kernels tolerate per-row sizes, but the incremental update kernels
+    refuse a mismatch (loud, not silent) — so a mismatched snapshot is
+    DROPPED here and the first resumed iteration rebuilds it from the
+    seen table at the adopted size (_read_prefilter fallback, exact
+    either way). One 1-row read of a bucket-count-sized table."""
+    snap = f"{kind}_{iteration}"
+    if not cat.exists(snap):
+        return
+    col = "nb" if kind == "cuckoo" else "m_bits"
+    expected = nb if kind == "cuckoo" else m_bits
+    row = cat.read(snap).select(col).limit(1).collect()
+    if row and int(row[0][col]) != expected:
+        cat.drop(snap)
 
 
 def _write_run_meta(cat: Catalog, bloom_buckets: int, bloom_m_bits: int,
@@ -1188,6 +1223,9 @@ def _run_crawl_inner(
         _check_run_meta(cat, bloom_buckets, bloom_m_bits, resume_from,
                         use_bloom=use_bloom, robots_mode=robots_mode,
                         prefilter_kind=prefilter_kind, cuckoo_nb=cuckoo_nb)
+        if use_bloom:
+            _heal_prefilter_size_mismatch(cat, resume_from, prefilter_kind,
+                                          bloom_m_bits, cuckoo_nb)
         wm = compaction_watermark(cat)
         if resume_from < wm:
             raise ValueError(
