@@ -53,17 +53,20 @@ def run(procs: int, urls: list[str], chunks: int = 256) -> float:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    out_name = sys.argv[4] if len(sys.argv) > 4 else "hw_ceiling.json"
     urls = _urls(n)
     out = {}
     # interleave to keep both legs under the same co-tenant load
-    best = {8: 0.0, 32: 0.0}
+    best = {lo: 0.0, hi: 0.0}
     for _ in range(2):
-        for procs in (8, 32):
+        for procs in (lo, hi):
             best[procs] = max(best[procs], run(procs, urls))
     out = {str(k): int(v) for k, v in best.items()}
-    out["speedup_8_to_32"] = round(best[32] / best[8], 3)
+    out[f"speedup_{lo}_to_{hi}"] = round(best[hi] / best[lo], 3)
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH", "hw_ceiling.json")
+        os.path.abspath(__file__))), "BENCH", out_name)
     with open(path, "w") as f:
         json.dump(out, f)
     print(json.dumps(out))

@@ -61,24 +61,28 @@ def run_leg(master: str, n: int) -> dict:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    legs: dict[str, list[dict]] = {"local[8]": [], "local[32]": []}
+    lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    out_name = sys.argv[5] if len(sys.argv) > 5 else "shuffle_ceiling.json"
+    lo_m, hi_m = f"local[{lo}]", f"local[{hi}]"
+    legs: dict[str, list[dict]] = {lo_m: [], hi_m: []}
     for _ in range(reps):
-        for master in ("local[8]", "local[32]"):
+        for master in (lo_m, hi_m):
             r = run_leg(master, n)
             legs[master].append(r)
             print(f"{master}: {r['sec']}s ({r['rows_per_sec']} rows/s)")
     best = {m: max(v, key=lambda x: x["rows_per_sec"]) for m, v in legs.items()}
+    speedup_key = f"speedup_{lo}_to_{hi}"
     out = {
         "n_rows": n, "reps": reps, "legs": legs, "best": best,
-        "speedup_8_to_32": round(
-            best["local[32]"]["rows_per_sec"]
-            / best["local[8]"]["rows_per_sec"], 3),
+        speedup_key: round(
+            best[hi_m]["rows_per_sec"] / best[lo_m]["rows_per_sec"], 3),
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH", "shuffle_ceiling.json")
+        os.path.abspath(__file__))), "BENCH", out_name)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps({k: out[k] for k in ("speedup_8_to_32",)}))
+    print(json.dumps({k: out[k] for k in (speedup_key,)}))
 
 
 if __name__ == "__main__":
