@@ -114,3 +114,27 @@ def test_parse_cluster_lines():
     # InputUtil.java:169-186)
     clusters2 = parse_cluster_lines(lines[:-1])
     assert [len(c.urls) for c in clusters2] == [12]
+
+
+def test_all_ignore_rule_collapses_duplicate_cluster_to_constant():
+    """A rule learned from a pair with NO key mapping has only keep/ignore
+    ops, so every URL the keyed pattern matches rewrites to the same
+    first-value constant — the intended dedup collapse for a cluster whose
+    URLs were all declared duplicates (TreeNode.java:858-863: the ignore op
+    '*' renders "an arbitrary value", list.get(0)). Pinned so the constant
+    output isn't mistaken for value loss: value-preserving rewrites need a
+    replace op (mapKeyNum > 0), as in test_apply_rule_golden."""
+    builder, clusters, a_urls, b_urls = build_fixture()
+    candidate_rule_generation(builder, clusters)
+    select_deployable_rules(builder)
+    rules = emit_rules(builder)
+    # the broadest emitted pattern (root node, path1:.*) carries an
+    # all-ignore rule: no replace op (no bare key:value without #/* marker)
+    assert any(all(v[:1] in "#*" for v in
+                   (p.partition(":")[2] for p in r.split("/") if p))
+               for _, r in rules)
+    # every URL in the declared-duplicate cluster collapses to ONE canonical
+    outs = {rewrite_url(rules, u) for u in a_urls + b_urls}
+    assert len(outs) == 1
+    # and the replace-op rule (c -> path2) is still learned and emitted
+    assert any("path2:c" in r for _, r in rules)
