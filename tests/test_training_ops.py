@@ -469,3 +469,33 @@ def test_dedup_cluster_assignments_total_policy(spark, tiny_docs):
                 == by_doc[p["doc_b"]]["cluster_id"])
     # and at least one real multi-doc cluster exists in the fixture
     assert any(len(m) > 1 for m in clusters.values())
+
+
+def test_span_sequence_per_row_equality(spark):
+    """input_hint per-row invariant: the distributed docs table's span
+    sequence equals the pure-python generator's, field-by-field (kind, text,
+    media_ref, order), for every row — the mapInPandas path (docs_df) and
+    the driver-side oracle path (docs_pdf) must be the same table, not just
+    aggregate-equal. Partition count must not matter."""
+    from url_pattern_algorithm_spark.sources.synthetic import docs_df, docs_pdf
+
+    n_docs, n_hosts = 250, 6
+    want = {
+        row.doc_id: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                     for s in row.spans]
+        for row in docs_pdf(n_docs, n_hosts).itertuples(index=False)
+    }
+    for parts in (1, 7):
+        got = {
+            r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                          for s in r["spans"]]
+            for r in docs_df(spark, n_docs, n_hosts, partitions=parts).collect()
+        }
+        assert set(got) == set(want)
+        for doc_id, seq in want.items():
+            assert got[doc_id] == seq, f"{doc_id} span sequence diverged"
+        # order within each spans array is positional AND offset-monotonic
+        assert all(
+            all(a[3] < b[3] for a, b in zip(seq, seq[1:]))
+            for seq in got.values()
+        )
